@@ -1,0 +1,308 @@
+"""CLIP dual-tower model in pure functional JAX.
+
+This replaces BOTH embedding engines of the reference with one implementation
+and one checkpoint:
+
+- the Burn-codegen'd vision tower (``/root/reference/clip/build.rs:75-78``,
+  loaded per scan at ``server/src/clip.rs:47-48``), and
+- the embed_anything/candle CPU text tower (``server/src/clip.rs:35-40``).
+
+Design notes (TPU-first, not a translation):
+
+- **Functional**: parameters are a plain pytree of ``jnp`` arrays; every
+  entry point is jittable and shardable with ``jax.sharding`` annotations.
+- **Stacked layers + ``lax.scan``**: all transformer blocks of a tower are
+  stored stacked along a leading ``[L, ...]`` axis and iterated with
+  ``lax.scan``. One layer is traced/compiled once regardless of depth — fast
+  compiles, identical math.
+- **Dtype policy**: activations run in ``compute_dtype`` (bf16 on TPU for the
+  MXU); layernorm statistics and softmax run in f32 for numerical parity with
+  the HF reference (``openai/clip-vit-large-patch14``).
+- **Patch conv as matmul**: the 14x14/stride-14 patchify conv is a reshape +
+  one big ``[B*256, 588] @ [588, 1024]`` matmul — the exact op the MXU wants.
+
+Numerical parity target: HuggingFace ``transformers.CLIPModel`` (cosine
+>= 0.999, BASELINE.md); verified in ``tests/test_model_parity.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_search_tpu.config import CLIPConfig, TowerConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive pieces
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm with f32 statistics, output cast back to x.dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _act(x: jax.Array, kind: str) -> jax.Array:
+    if kind == "quick_gelu":
+        # HF CLIP's QuickGELUActivation: x * sigmoid(1.702 * x)
+        return x * jax.nn.sigmoid(1.702 * x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown activation {kind!r}")
+
+
+def _attention(
+    x: jax.Array,
+    blk: Params,
+    cfg: TowerConfig,
+    causal: bool,
+) -> jax.Array:
+    """Multi-head self-attention, HF CLIPAttention numerics.
+
+    q is pre-scaled by head_dim**-0.5; logits+softmax in f32.
+    """
+    B, S, D = x.shape
+    H, Hd = cfg.num_heads, cfg.head_dim
+    dtype = x.dtype
+
+    def proj(w, b):
+        return jnp.einsum("bsd,de->bse", x, w.astype(dtype)) + b.astype(dtype)
+
+    q = proj(blk["q_w"], blk["q_b"]) * np.float32(Hd) ** -0.5
+    k = proj(blk["k_w"], blk["k_b"])
+    v = proj(blk["v_w"], blk["v_b"])
+
+    q = q.reshape(B, S, H, Hd)
+    k = k.reshape(B, S, H, Hd)
+    v = v.reshape(B, S, H, Hd)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    if causal:
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, D)
+    return jnp.einsum("bsd,de->bse", out, blk["o_w"].astype(dtype)) + blk["o_b"].astype(dtype)
+
+
+def _mlp(x: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
+    dtype = x.dtype
+    h = jnp.einsum("bsd,dm->bsm", x, blk["fc_w"].astype(dtype)) + blk["fc_b"].astype(dtype)
+    h = _act(h, cfg.act)
+    return jnp.einsum("bsm,md->bsd", h, blk["proj_w"].astype(dtype)) + blk["proj_b"].astype(dtype)
+
+
+def _block(x: jax.Array, blk: Params, cfg: TowerConfig, causal: bool) -> jax.Array:
+    """Pre-LN transformer block (HF CLIPEncoderLayer)."""
+    x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps), blk, cfg, causal)
+    x = x + _mlp(_layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps), blk, cfg)
+    return x
+
+
+def _encoder(x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool) -> jax.Array:
+    """Run all stacked blocks with lax.scan (one trace for L layers)."""
+
+    def body(h, blk):
+        return _block(h, blk, cfg, causal), None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Towers
+# ---------------------------------------------------------------------------
+
+
+def patchify(pixels: jax.Array, patch: int) -> jax.Array:
+    """[B, H, W, C] -> [B, (H/p)*(W/p), p*p*C] with (ph, pw, c) minor order.
+
+    Matches a stride-p VALID conv whose [D, C, p, p] weight has been
+    reshaped to [p*p*C, D] via ``w.transpose(2, 3, 1, 0)`` (convert.py).
+    """
+    B, H, W, C = pixels.shape
+    gh, gw = H // patch, W // patch
+    x = pixels.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, gh, gw, ph, pw, C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def encode_text(
+    params: Params,
+    cfg: CLIPConfig,
+    input_ids: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+    normalize: bool = False,
+) -> jax.Array:
+    """Text -> [B, projection_dim] embedding.
+
+    Mirrors the behavioral contract of the reference's
+    ``embed_anything.embed`` call (``server/src/clip.rs:19-23``): text into
+    the shared CLIP space. Pooled at the first EOS position, projected, and
+    optionally l2-normalized (the reference stores unnormalized vectors and
+    delegates cosine to the DB; we normalize at the index boundary instead).
+    """
+    t = params["text"]
+    tc = cfg.text
+    B, S = input_ids.shape
+
+    x = t["token_embedding"][input_ids] + t["position_embedding"][:S]
+    x = x.astype(compute_dtype)
+    x = _encoder(x, t["blocks"], tc, causal=True)
+    x = _layer_norm(x, t["final_ln_scale"], t["final_ln_bias"], tc.layernorm_eps)
+
+    # HF CLIP pools at the first EOS token (pad == EOS for CLIP's tokenizer).
+    eos_pos = jnp.argmax((input_ids == tc.eos_token_id).astype(jnp.int32), axis=-1)
+    pooled = x[jnp.arange(B), eos_pos]
+
+    emb = jnp.einsum("bd,dp->bp", pooled, t["projection"].astype(pooled.dtype))
+    if normalize:
+        emb = l2_normalize(emb)
+    return emb
+
+
+def encode_image(
+    params: Params,
+    cfg: CLIPConfig,
+    pixels: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+    normalize: bool = False,
+) -> jax.Array:
+    """Preprocessed pixels [B, H, W, 3] (NHWC, normalized) -> [B, proj_dim].
+
+    The TPU-native counterpart of the reference's per-scan Burn forward
+    (``server/src/clip.rs:118``). NHWC input; patchify is a reshape + matmul.
+    """
+    v = params["vision"]
+    vc = cfg.vision
+    B = pixels.shape[0]
+
+    patches = patchify(pixels.astype(compute_dtype), vc.patch_size)
+    x = jnp.einsum("bnk,kd->bnd", patches, v["patch_embedding"].astype(compute_dtype))
+
+    cls = jnp.broadcast_to(v["class_embedding"].astype(compute_dtype), (B, 1, vc.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["position_embedding"].astype(compute_dtype)
+
+    x = _layer_norm(x, v["pre_ln_scale"], v["pre_ln_bias"], vc.layernorm_eps)
+    x = _encoder(x, v["blocks"], vc, causal=False)
+
+    pooled = x[:, 0]  # class token
+    pooled = _layer_norm(pooled, v["post_ln_scale"], v["post_ln_bias"], vc.layernorm_eps)
+
+    emb = jnp.einsum("bd,dp->bp", pooled, v["projection"].astype(pooled.dtype))
+    if normalize:
+        emb = l2_normalize(emb)
+    return emb
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def forward(
+    params: Params,
+    cfg: CLIPConfig,
+    input_ids: jax.Array,
+    pixels: jax.Array,
+    compute_dtype: jnp.dtype = jnp.float32,
+):
+    """Full contrastive forward: returns (image_emb, text_emb, logit_scale).
+
+    Embeddings are l2-normalized; ``logits = scale * img @ txt.T`` is left to
+    the caller (the training step psums it across the batch shards).
+    """
+    img = encode_image(params, cfg, pixels, compute_dtype, normalize=True)
+    txt = encode_text(params, cfg, input_ids, compute_dtype, normalize=True)
+    scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
+    return img, txt, scale
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights; real deployments load an HF checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _init_tower_blocks(key: jax.Array, cfg: TowerConfig, dtype) -> Params:
+    L, D, M = cfg.num_layers, cfg.hidden_size, cfg.mlp_size
+    ks = jax.random.split(key, 6)
+    s = D**-0.5
+
+    def w(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    zeros = lambda shape: jnp.zeros(shape, dtype)
+    ones = lambda shape: jnp.ones(shape, dtype)
+    return {
+        "ln1_scale": ones((L, D)),
+        "ln1_bias": zeros((L, D)),
+        "q_w": w(ks[0], (L, D, D), s),
+        "q_b": zeros((L, D)),
+        "k_w": w(ks[1], (L, D, D), s),
+        "k_b": zeros((L, D)),
+        "v_w": w(ks[2], (L, D, D), s),
+        "v_b": zeros((L, D)),
+        "o_w": w(ks[3], (L, D, D), s),
+        "o_b": zeros((L, D)),
+        "ln2_scale": ones((L, D)),
+        "ln2_bias": zeros((L, D)),
+        "fc_w": w(ks[4], (L, D, M), s),
+        "fc_b": zeros((L, M)),
+        "proj_w": w(ks[5], (L, M, D), M**-0.5),
+        "proj_b": zeros((L, D)),
+    }
+
+
+def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
+    """Randomly initialized parameter pytree with the checkpoint layout."""
+    kt, kv, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 8)
+    tc, vc = cfg.text, cfg.vision
+    patch_dim = vc.patch_size * vc.patch_size * 3
+
+    def w(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    text = {
+        "token_embedding": w(k1, (tc.vocab_size, tc.hidden_size), 0.02),
+        "position_embedding": w(k2, (tc.context_length, tc.hidden_size), 0.01),
+        "blocks": _init_tower_blocks(kt, tc, dtype),
+        "final_ln_scale": jnp.ones((tc.hidden_size,), dtype),
+        "final_ln_bias": jnp.zeros((tc.hidden_size,), dtype),
+        "projection": w(k3, (tc.hidden_size, cfg.projection_dim), tc.hidden_size**-0.5),
+    }
+    vision = {
+        "patch_embedding": w(k4, (patch_dim, vc.hidden_size), patch_dim**-0.5),
+        "class_embedding": w(k5, (vc.hidden_size,), 0.02),
+        "position_embedding": w(k6, (vc.seq_len, vc.hidden_size), 0.01),
+        "pre_ln_scale": jnp.ones((vc.hidden_size,), dtype),
+        "pre_ln_bias": jnp.zeros((vc.hidden_size,), dtype),
+        "blocks": _init_tower_blocks(kv, vc, dtype),
+        "post_ln_scale": jnp.ones((vc.hidden_size,), dtype),
+        "post_ln_bias": jnp.zeros((vc.hidden_size,), dtype),
+        "projection": w(k3, (vc.hidden_size, cfg.projection_dim), vc.hidden_size**-0.5),
+    }
+    return {
+        "text": text,
+        "vision": vision,
+        "logit_scale": jnp.asarray(cfg.logit_scale_init, jnp.float32),
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
