@@ -1,0 +1,299 @@
+"""Device-resident exact-cosine vector index with fused Rocchio feedback.
+
+Replaces the reference's SurrealDB MTREE index and its two query paths:
+
+- KNN query ``SELECT ... WHERE embedding <|1000|> $reference``
+  (``server/src/search.rs:70-77``) -> one jitted program: l2-normalize the
+  query, one [B, D] x [D, N] matmul on the MXU, mask invalid rows,
+  ``lax.top_k``. Exact (not approximate like MTREE), and microseconds
+  instead of a WebSocket round-trip.
+- the Rocchio relevance-feedback step (fetch selected embeddings, average
+  with the text vector at 1/2 : 1/2k weights, re-search;
+  ``search.rs:43-67``) -> fused INTO the same program: gather + average +
+  normalize + matmul + top_k in a single XLA compilation, the north star's
+  "multi-round relevance-feedback as a single fused TPU step".
+
+Storage layout: rows are kept l2-NORMALIZED (cosine == dot product) next to
+their original norms, so the raw vectors the reference stores
+(``clip.rs:124``) are recoverable exactly as ``emb * norm`` — the Rocchio
+average is computed in raw space, bit-matching the reference's semantics.
+
+Capacity is bucketed (powers of two) and rows are appended on-device with
+donated ``dynamic_update_slice`` blocks, so ingest never recompiles per
+batch and never reuploads the corpus.
+
+Multi-chip: pass a ``Mesh`` and rows shard across the data axis;
+queries run through ``parallel.sharded_search.sharded_topk`` (per-shard
+top-k + allgather merge over ICI).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from image_search_tpu.index.store import EmbeddingStore
+from image_search_tpu.parallel.mesh import DATA_AXIS, row_sharding
+from image_search_tpu.parallel.sharded_search import sharded_topk
+
+log = logging.getLogger(__name__)
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+_UPDATE_BLOCK = 4096  # rows per on-device append slice
+
+
+def _next_capacity(n: int, multiple: int) -> int:
+    cap = multiple
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _l2(x: jax.Array) -> jax.Array:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)
+
+
+# --- jitted kernels (module-level so caches are shared across instances) ---
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_block(buf: jax.Array, block: jax.Array, offset: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, block, (offset,) + (0,) * (buf.ndim - 1))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _grow(new_buf: jax.Array, old_buf: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(
+        new_buf, old_buf, (0,) * old_buf.ndim
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_local(emb, size, queries, k: int):
+    q = _l2(queries.astype(jnp.float32))
+    scores = jnp.einsum("bd,nd->bn", q, emb, preferred_element_type=jnp.float32)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, emb.shape[0]), 1) < size
+    scores = jnp.where(valid, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+@lru_cache(maxsize=64)
+def _sharded_search_fn(mesh: Mesh, k: int):
+    @jax.jit
+    def fn(emb, size, queries):
+        q = _l2(queries.astype(jnp.float32))
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0],), 0) < size
+        )
+        return sharded_topk(emb, valid, q, k, mesh)
+
+    return fn
+
+
+def _rocchio_query(emb, norms, text_emb, sel_idx):
+    """Reference Rocchio weighting (search.rs:60-67), in raw-vector space:
+    query = average( average(selected_raw), text_raw )."""
+    mask = (sel_idx >= 0).astype(jnp.float32)
+    idx = jnp.maximum(sel_idx, 0)
+    raw = emb[idx] * norms[idx][:, None]  # un-normalize gathered rows
+    raw = raw * mask[:, None]
+    sel_avg = raw.sum(axis=0) / jnp.maximum(mask.sum(), 1.0)
+    return (sel_avg + text_emb.astype(jnp.float32)) * 0.5
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _feedback_search_local(emb, norms, size, text_emb, sel_idx, k: int):
+    q = _rocchio_query(emb, norms, text_emb, sel_idx)[None, :]
+    return _search_local(emb, size, q, k)
+
+
+@lru_cache(maxsize=64)
+def _sharded_feedback_fn(mesh: Mesh, k: int):
+    @jax.jit
+    def fn(emb, norms, size, text_emb, sel_idx):
+        q = _rocchio_query(emb, norms, text_emb, sel_idx)[None, :]
+        qn = _l2(q)
+        valid = jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0],), 0) < size
+        return sharded_topk(emb, valid, qn, k, mesh)
+
+    return fn
+
+
+class VectorIndex:
+    """Exact cosine top-k index resident in device HBM."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Optional[Mesh] = None,
+        min_capacity: int = 8192,
+        store: Optional[EmbeddingStore] = None,
+    ):
+        self.dim = dim
+        self.mesh = mesh
+        self.store = store
+        self._n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        self._cap_multiple = max(min_capacity, self._n_shards * _UPDATE_BLOCK)
+        self._paths: List[str] = []
+        self._row: dict[str, int] = {}
+        self._size = 0
+        cap = self._cap_multiple
+        self._emb = self._device_zeros((cap, dim))
+        self._norms = self._device_zeros((cap,))
+        if store is not None and len(store):
+            for paths, emb in store.iter_shards():
+                self._add_in_memory(paths, emb)
+            log.info("index restored from %s: %d vectors", store.directory, self._size)
+
+    # -- construction helpers ------------------------------------------------
+
+    def _sharding(self, ndim: int):
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+    def _device_zeros(self, shape):
+        z = jnp.zeros(shape, jnp.float32)
+        sh = self._sharding(len(shape))
+        return jax.device_put(z, sh) if sh is not None else z
+
+    @classmethod
+    def from_store(cls, store: EmbeddingStore, mesh: Optional[Mesh] = None) -> "VectorIndex":
+        return cls(store.dim, mesh=mesh, store=store)
+
+    # -- mutation -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._size
+
+    @property
+    def paths(self) -> List[str]:
+        return self._paths
+
+    def _ensure_capacity(self, n: int) -> None:
+        cap = self._emb.shape[0]
+        if n <= cap:
+            return
+        new_cap = _next_capacity(n, self._cap_multiple)
+        new_emb = self._device_zeros((new_cap, self.dim))
+        new_norms = self._device_zeros((new_cap,))
+        self._emb = _grow(new_emb, self._emb)
+        self._norms = _grow(new_norms, self._norms)
+        log.info("index capacity grown to %d", new_cap)
+
+    def _add_in_memory(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
+        embeddings = np.asarray(embeddings, np.float32)
+        keep = [i for i, p in enumerate(paths) if p not in self._row]
+        if not keep:
+            return 0
+        if len(keep) < len(paths):
+            paths = [paths[i] for i in keep]
+            embeddings = embeddings[keep]
+        n = len(paths)
+        self._ensure_capacity(self._size + n)
+
+        norms = np.linalg.norm(embeddings, axis=1)
+        normalized = embeddings / np.maximum(norms, 1e-12)[:, None]
+
+        off = 0
+        while off < n:
+            m = min(_UPDATE_BLOCK, n - off)
+            blk = np.zeros((_UPDATE_BLOCK, self.dim), np.float32)
+            blk[:m] = normalized[off : off + m]
+            nrm = np.zeros((_UPDATE_BLOCK,), np.float32)
+            nrm[:m] = norms[off : off + m]
+            pos = jnp.asarray(self._size + off, jnp.int32)
+            self._emb = _write_block(self._emb, jnp.asarray(blk), pos)
+            self._norms = _write_block(self._norms, jnp.asarray(nrm), pos)
+            off += m
+
+        for i, p in enumerate(paths):
+            self._row[p] = self._size + i
+        self._paths.extend(paths)
+        self._size += n
+        return n
+
+    def add(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
+        """Insert raw (unnormalized) embeddings; dedups by path; persists to
+        the attached store if any. Returns #rows actually added."""
+        added = self._add_in_memory(paths, embeddings)
+        if added and self.store is not None:
+            self.store.append(list(paths), np.asarray(embeddings, np.float32))
+        return added
+
+    # -- queries ---------------------------------------------------------------
+
+    def _clamp_k(self, k: int) -> int:
+        # top_k needs k <= N; reference hardcodes k=1000 (search.rs:76) even
+        # for small corpora because the DB clamps — we clamp likewise.
+        return max(1, min(k, self._size if self._size else 1))
+
+    def search(self, queries: np.ndarray, k: int = 1000):
+        """Raw query vectors [B, D] (or [D]) -> (scores [B,k], indices [B,k])."""
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if self._size == 0:
+            B = int(q.shape[0])
+            return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
+        k = self._clamp_k(k)
+        size = jnp.asarray(self._size, jnp.int32)
+        if self.mesh is None:
+            s, i = _search_local(self._emb, size, q, k)
+        else:
+            s, i = _sharded_search_fn(self.mesh, k)(self._emb, size, q)
+        return np.asarray(s), np.asarray(i)
+
+    def search_with_feedback(
+        self,
+        text_embedding: np.ndarray,
+        selected_paths: Sequence[str],
+        k: int = 1000,
+    ):
+        """The reference's refinement search (search.rs:34-77), one fused step.
+
+        Unknown paths are skipped (the reference's ``WHERE image_path IN``
+        silently drops them too). With no known selections this degrades to a
+        plain text search, matching ``if !marked_image.is_empty()``
+        (search.rs:59).
+        """
+        rows = [self._row[p] for p in selected_paths if p in self._row]
+        if not rows:
+            return self.search(text_embedding, k)
+        k = self._clamp_k(k)
+        # pad selection to a pow2 bucket to bound jit variants
+        m = 8
+        while m < len(rows):
+            m *= 2
+        sel = np.full((m,), -1, np.int32)
+        sel[: len(rows)] = rows
+        text = jnp.asarray(np.asarray(text_embedding, np.float32).reshape(self.dim))
+        size = jnp.asarray(self._size, jnp.int32)
+        sel = jnp.asarray(sel)
+        if self.mesh is None:
+            s, i = _feedback_search_local(self._emb, self._norms, size, text, sel, k)
+        else:
+            s, i = _sharded_feedback_fn(self.mesh, k)(self._emb, self._norms, size, text, sel)
+        return np.asarray(s), np.asarray(i)
+
+    # -- lookups ---------------------------------------------------------------
+
+    def paths_for(self, indices: np.ndarray) -> List[str]:
+        return [self._paths[int(i)] for i in np.asarray(indices).reshape(-1)]
+
+    def has_path(self, path: str) -> bool:
+        return path in self._row
+
+    def get_raw_embeddings(self, paths: Sequence[str]) -> np.ndarray:
+        """Stored raw vectors for given paths (the search.rs:43-58 SELECT)."""
+        rows = [self._row[p] for p in paths if p in self._row]
+        if not rows:
+            return np.zeros((0, self.dim), np.float32)
+        idx = jnp.asarray(np.asarray(rows))
+        raw = self._emb[idx] * self._norms[idx][:, None]
+        return np.asarray(raw)

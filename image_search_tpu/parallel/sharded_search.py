@@ -1,0 +1,74 @@
+"""Mesh-sharded exact top-k: per-shard matmul+top-k, all-gather, merge.
+
+This is the BASELINE.json config-#4 path ("10M-vector sharded index:
+data-parallel embed + allgather, on-TPU cosine top-k per query"): the
+embedding matrix lives row-sharded across the mesh; each device scores only
+its shard and contributes k candidates, so the collective moves
+``devices * k`` (score, index) pairs per query instead of N scores. XLA
+compiles the ``all_gather`` onto ICI — the role NCCL allgather would play in
+a GPU design (SURVEY.md §5, distributed-communication row).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from image_search_tpu.parallel.mesh import DATA_AXIS
+
+NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+
+
+def sharded_topk(
+    emb: jax.Array,  # [N, D], rows l2-normalized, sharded P(data, None)
+    valid: jax.Array,  # [N] bool, sharded P(data)
+    queries: jax.Array,  # [B, D] l2-normalized, replicated
+    k: int,
+    mesh: Mesh,
+):
+    """Exact cosine top-k over a row-sharded corpus.
+
+    Returns (scores [B, k], global_indices [B, k]) replicated on every
+    device. Exactness: global top-k rows of the full matrix are a subset of
+    the union of per-shard top-k candidates, so the merge loses nothing.
+    """
+    n_shards = mesh.shape[DATA_AXIS]
+    N = emb.shape[0]
+    assert N % n_shards == 0, (N, n_shards)
+    local_n = N // n_shards
+    local_k = min(k, local_n)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    def _search(emb_l, valid_l, q):
+        # [B, local_n] similarity on this shard only
+        scores = jnp.einsum(
+            "bd,nd->bn", q, emb_l, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(valid_l[None, :], scores, NEG_INF)
+        s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        gi_k = i_k + shard_id * local_n  # global row ids
+
+        # gather the candidate sets from every shard: [S, B, local_k]
+        all_s = jax.lax.all_gather(s_k, DATA_AXIS, axis=0)
+        all_i = jax.lax.all_gather(gi_k, DATA_AXIS, axis=0)
+        B = q.shape[0]
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, n_shards * local_k)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, n_shards * local_k)
+
+        kk = min(k, n_shards * local_k)
+        m_s, m_pos = jax.lax.top_k(all_s, kk)
+        m_i = jnp.take_along_axis(all_i, m_pos, axis=1)
+        return m_s, m_i
+
+    return _search(emb, valid, queries)

@@ -1,0 +1,221 @@
+"""VectorIndex correctness: exact top-k vs a numpy oracle, Rocchio semantics
+vs the reference's average_slices weighting (search.rs:60-67, :127-150),
+persistence, dedup, and the mesh-sharded path on 8 virtual devices.
+"""
+
+import numpy as np
+import pytest
+
+from image_search_tpu.index import EmbeddingStore, VectorIndex
+from image_search_tpu.parallel import make_mesh
+
+DIM = 64
+
+
+def numpy_topk(emb_raw: np.ndarray, q_raw: np.ndarray, k: int):
+    """Cosine top-k oracle on raw vectors."""
+    e = emb_raw / np.linalg.norm(emb_raw, axis=1, keepdims=True)
+    q = q_raw / np.linalg.norm(q_raw, axis=-1, keepdims=True)
+    scores = q @ e.T
+    idx = np.argsort(-scores, axis=-1, kind="stable")[..., :k]
+    return np.take_along_axis(scores, idx, axis=-1), idx
+
+
+def make_data(rng, n, dim=DIM):
+    emb = rng.normal(size=(n, dim)).astype(np.float32) * rng.uniform(0.5, 2.0, size=(n, 1)).astype(np.float32)
+    paths = [f"/pics/img_{i:05d}.jpg" for i in range(n)]
+    return paths, emb
+
+
+def test_search_matches_numpy_oracle(rng):
+    paths, emb = make_data(rng, 500)
+    idx = VectorIndex(DIM)
+    assert idx.add(paths, emb) == 500
+    q = rng.normal(size=(3, DIM)).astype(np.float32)
+    s, i = idx.search(q, k=20)
+    ws, wi = numpy_topk(emb, q, 20)
+    np.testing.assert_allclose(s, ws, rtol=1e-5, atol=1e-5)
+    # ties are possible in principle; compare score-aligned sets
+    for b in range(3):
+        assert set(i[b].tolist()) == set(wi[b].tolist())
+
+
+def test_k_clamped_to_corpus_size(rng):
+    paths, emb = make_data(rng, 10)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    s, i = idx.search(rng.normal(size=DIM).astype(np.float32), k=1000)
+    assert s.shape == (1, 10)
+
+
+def test_empty_index(rng):
+    idx = VectorIndex(DIM)
+    s, i = idx.search(rng.normal(size=DIM).astype(np.float32), k=5)
+    assert s.shape == (1, 0)
+
+
+def test_dedup_by_path(rng):
+    paths, emb = make_data(rng, 50)
+    idx = VectorIndex(DIM)
+    assert idx.add(paths, emb) == 50
+    assert idx.add(paths[:10], emb[:10]) == 0  # re-scan: all duplicates
+    assert len(idx) == 50
+
+
+def test_incremental_add_matches_bulk(rng):
+    paths, emb = make_data(rng, 300)
+    a = VectorIndex(DIM)
+    a.add(paths, emb)
+    b = VectorIndex(DIM)
+    for lo in range(0, 300, 37):
+        b.add(paths[lo : lo + 37], emb[lo : lo + 37])
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    sa, ia = a.search(q, 15)
+    sb, ib = b.search(q, 15)
+    np.testing.assert_allclose(sa, sb, atol=1e-6)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_capacity_growth(rng):
+    idx = VectorIndex(DIM, min_capacity=8192)
+    total = 0
+    for _ in range(3):
+        paths, emb = make_data(rng, 5000)
+        paths = [f"{p}.{total}" for p in paths]
+        total += idx.add(paths, emb)
+    assert len(idx) == 15000
+    q = rng.normal(size=DIM).astype(np.float32)
+    s, i = idx.search(q, 5)
+    assert s.shape == (1, 5)
+    assert (i < 15000).all()
+
+
+def test_rocchio_matches_reference_weighting(rng):
+    """Fused feedback step == reference math on raw vectors:
+    query = average(average(selected), text) — search.rs:60-67."""
+    paths, emb = make_data(rng, 200)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    text = rng.normal(size=DIM).astype(np.float32)
+    selected = [paths[7], paths[42], paths[99]]
+
+    sel_avg = emb[[7, 42, 99]].mean(axis=0)
+    ref_query = (sel_avg + text) / 2.0
+    ws, wi = numpy_topk(emb, ref_query[None], 10)
+
+    s, i = idx.search_with_feedback(text, selected, k=10)
+    np.testing.assert_allclose(s, ws, rtol=1e-4, atol=1e-5)
+    assert set(i[0].tolist()) == set(wi[0].tolist())
+
+
+def test_rocchio_unknown_paths_fall_back_to_text(rng):
+    paths, emb = make_data(rng, 100)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    text = rng.normal(size=DIM).astype(np.float32)
+    s1, i1 = idx.search_with_feedback(text, ["/nope.jpg"], k=5)
+    s2, i2 = idx.search(text, k=5)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_get_raw_embeddings_roundtrip(rng):
+    paths, emb = make_data(rng, 64)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    got = idx.get_raw_embeddings([paths[5], paths[20]])
+    np.testing.assert_allclose(got, emb[[5, 20]], rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Persistence (EmbeddingStore)
+# ---------------------------------------------------------------------------
+
+
+def test_store_roundtrip(tmp_path, rng):
+    paths, emb = make_data(rng, 120)
+    store = EmbeddingStore(str(tmp_path / "idx"), DIM)
+    store.append(paths[:80], emb[:80])
+    store.append(paths[80:], emb[80:])
+
+    store2 = EmbeddingStore(str(tmp_path / "idx"), DIM)
+    got_paths, got_emb = store2.load_all()
+    assert got_paths == paths
+    np.testing.assert_allclose(got_emb, emb, atol=0)
+
+
+def test_store_dedup(tmp_path, rng):
+    paths, emb = make_data(rng, 30)
+    store = EmbeddingStore(str(tmp_path / "idx"), DIM)
+    assert store.append(paths, emb) == 30
+    assert store.append(paths[:10], emb[:10]) == 0
+    assert store.filter_new(paths + ["/new.jpg"]) == ["/new.jpg"]
+
+
+def test_index_restores_from_store(tmp_path, rng):
+    paths, emb = make_data(rng, 150)
+    store = EmbeddingStore(str(tmp_path / "idx"), DIM)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+
+    # new process: rebuild from disk
+    store2 = EmbeddingStore(str(tmp_path / "idx"), DIM)
+    idx2 = VectorIndex.from_store(store2)
+    assert len(idx2) == 150
+    q = rng.normal(size=DIM).astype(np.float32)
+    s1, i1 = idx.search(q, 7)
+    s2, i2 = idx2.search(q, 7)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+
+# ---------------------------------------------------------------------------
+# Sharded path (8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh()
+
+
+def test_sharded_search_equals_local(rng, mesh8):
+    paths, emb = make_data(rng, 1000)
+    local = VectorIndex(DIM)
+    local.add(paths, emb)
+    sharded = VectorIndex(DIM, mesh=mesh8)
+    sharded.add(paths, emb)
+
+    q = rng.normal(size=(4, DIM)).astype(np.float32)
+    sl, il = local.search(q, 25)
+    ss, si = sharded.search(q, 25)
+    np.testing.assert_allclose(ss, sl, rtol=1e-5, atol=1e-5)
+    for b in range(4):
+        assert set(si[b].tolist()) == set(il[b].tolist())
+
+
+def test_sharded_feedback_equals_local(rng, mesh8):
+    paths, emb = make_data(rng, 600)
+    local = VectorIndex(DIM)
+    local.add(paths, emb)
+    sharded = VectorIndex(DIM, mesh=mesh8)
+    sharded.add(paths, emb)
+
+    text = rng.normal(size=DIM).astype(np.float32)
+    sel = [paths[3], paths[77]]
+    sl, il = local.search_with_feedback(text, sel, 12)
+    ss, si = sharded.search_with_feedback(text, sel, 12)
+    np.testing.assert_allclose(ss, sl, rtol=1e-5, atol=1e-5)
+    assert set(si[0].tolist()) == set(il[0].tolist())
+
+
+def test_sharded_k_larger_than_shard(rng, mesh8):
+    """k > per-shard row count still returns exact global top-k."""
+    paths, emb = make_data(rng, 4096 * 8)  # min capacity, all shards full
+    sharded = VectorIndex(DIM, mesh=mesh8)
+    sharded.add(paths, emb)
+    q = rng.normal(size=DIM).astype(np.float32)
+    s, i = sharded.search(q, 1000)
+    ws, wi = numpy_topk(emb, q[None], 1000)
+    np.testing.assert_allclose(s, ws, rtol=1e-5, atol=1e-5)
+    assert set(i[0].tolist()) == set(wi[0].tolist())
