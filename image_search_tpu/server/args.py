@@ -1,0 +1,71 @@
+"""Server CLI — flag names/semantics mirror the reference
+(``/root/reference/server/src/server_arguments.rs:7-28``), with the five
+``--surrealdb-*`` flags replaced by index/mesh flags (the DB process no
+longer exists; SURVEY.md §5 config row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    model_weights: str = "./models/clip.safetensors"
+    media_dir: str = "~/Pictures"
+    chunk_size: int = 500
+    addr: str = "127.0.0.1"
+    port: int = 3000
+    # new (replace --surrealdb-*):
+    index_dir: str = "./index"
+    tokenizer_dir: Optional[str] = None
+    model: str = "clip-vit-large-patch14"
+    preprocess_mode: str = "hf"
+    compute_dtype: str = "auto"  # auto|float32|bfloat16
+    mesh_data: Optional[int] = None  # None => all devices
+    mesh_model: int = 1
+    decode_workers: int = 16
+    k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
+    static_dir: Optional[str] = None
+
+    def expanded_media_dir(self) -> str:
+        # shellexpand_media_dir (server_arguments.rs:35-37)
+        return os.path.expanduser(self.media_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    d = ServerArgs()
+    p = argparse.ArgumentParser(
+        prog="image-search-tpu",
+        description="TPU-native semantic photo search server",
+    )
+    p.add_argument("-w", "--model-weights", default=d.model_weights,
+                   help="checkpoint (safetensors) with both CLIP towers")
+    p.add_argument("-m", "--media-dir", default=d.media_dir)
+    p.add_argument("-c", "--chunk-size", type=int, default=d.chunk_size)
+    p.add_argument("-a", "--addr", default=d.addr)
+    p.add_argument("-p", "--port", type=int, default=d.port)
+    p.add_argument("--index-dir", default=d.index_dir,
+                   help="embedding store directory (replaces SurrealDB)")
+    p.add_argument("--tokenizer-dir", default=d.tokenizer_dir,
+                   help="dir with vocab.json+merges.txt (CLIP BPE)")
+    p.add_argument("--model", default=d.model,
+                   help="model preset when --model-weights doesn't exist")
+    p.add_argument("--preprocess-mode", choices=["hf", "reference"], default=d.preprocess_mode)
+    p.add_argument("--compute-dtype", choices=["auto", "float32", "bfloat16"],
+                   default=d.compute_dtype)
+    p.add_argument("--mesh-data", type=int, default=d.mesh_data)
+    p.add_argument("--mesh-model", type=int, default=d.mesh_model)
+    p.add_argument("--decode-workers", type=int, default=d.decode_workers)
+    p.add_argument("--k", type=int, default=d.k)
+    p.add_argument("--static-dir", default=d.static_dir,
+                   help="SPA dist dir (defaults to the bundled client)")
+    return p
+
+
+def parse_args(argv=None) -> ServerArgs:
+    ns = build_parser().parse_args(argv)
+    return ServerArgs(**{k.replace("-", "_"): v for k, v in vars(ns).items()})

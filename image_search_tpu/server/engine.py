@@ -1,0 +1,163 @@
+"""SearchEngine: wires model + tokenizer + index + ingest into one object.
+
+The runtime counterpart of the reference's ``AppState``
+(``server/src/main.rs:30-35``: CLI args + DB handle + embedder behind
+mutexes) — except everything lives in-process on the TPU, nothing blocks a
+socket, and the model is loaded ONCE at startup instead of per scan
+(clip.rs:46-48).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import urllib.parse
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_search_tpu.config import get_config
+from image_search_tpu.index import EmbeddingStore, VectorIndex
+from image_search_tpu.ingest.pipeline import ScanStats, scan_directory
+from image_search_tpu.models import clip as model_lib
+from image_search_tpu.models.convert import load_checkpoint
+from image_search_tpu.models.embedder import ClipEmbedder
+from image_search_tpu.parallel.mesh import make_mesh, maybe_init_distributed
+from image_search_tpu.server.args import ServerArgs
+from image_search_tpu.tokenizer import CLIPBPETokenizer, HashTokenizer
+
+log = logging.getLogger(__name__)
+
+MEDIA_PREFIX = "media/"
+
+
+class SearchEngine:
+    def __init__(self, args: ServerArgs):
+        self.args = args
+        self.media_dir = args.expanded_media_dir()
+
+        maybe_init_distributed()
+        n_dev = len(jax.devices())
+        self.mesh = (
+            make_mesh(args.mesh_data, args.mesh_model)
+            if (args.mesh_data or args.mesh_model > 1 or n_dev > 1)
+            else None
+        )
+
+        params, cfg = self._load_model()
+        self.cfg = cfg
+        tokenizer = self._load_tokenizer()
+        dtype = {
+            "auto": None,
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+        }[args.compute_dtype]
+        self.embedder = ClipEmbedder(
+            params,
+            cfg,
+            tokenizer=tokenizer,
+            mesh=self.mesh,
+            compute_dtype=dtype,
+            preprocess_mode=args.preprocess_mode,
+        )
+        store = EmbeddingStore(args.index_dir, cfg.projection_dim)
+        self.index = VectorIndex(cfg.projection_dim, mesh=self.mesh, store=store)
+        log.info(
+            "engine ready: model=%s dim=%d corpus=%d devices=%d",
+            cfg.name,
+            cfg.projection_dim,
+            len(self.index),
+            n_dev,
+        )
+
+    # -- construction ---------------------------------------------------------
+
+    def _load_model(self):
+        path = self.args.model_weights
+        if os.path.exists(path):
+            params, cfg = load_checkpoint(path)
+            log.info("loaded checkpoint %s (%s)", path, cfg.name)
+            return params, cfg
+        cfg = get_config(self.args.model)
+        log.warning(
+            "checkpoint %s not found — using RANDOM %s weights (demo mode; "
+            "searches will not be semantic)",
+            path,
+            cfg.name,
+        )
+        return model_lib.init_params(jax.random.key(0), cfg), cfg
+
+    def _load_tokenizer(self):
+        d = self.args.tokenizer_dir
+        if d and os.path.exists(os.path.join(d, "vocab.json")):
+            log.info("loaded BPE tokenizer from %s", d)
+            return CLIPBPETokenizer.from_dir(d, self.cfg.text.context_length)
+        if d:
+            log.warning("tokenizer dir %s missing vocab.json", d)
+        log.warning("no tokenizer files — using deterministic hash tokenizer")
+        return HashTokenizer(self.cfg.text.vocab_size, self.cfg.text.context_length)
+
+    # -- path mapping (media/ URL <-> absolute path) ----------------------------
+
+    def to_abs_path(self, media_path: str) -> Optional[str]:
+        """'media/x/y.jpg' -> '<media_dir>/x/y.jpg' (search.rs:35-40 remap).
+        Rejects non-media/ paths and directory traversal."""
+        if not media_path.startswith(MEDIA_PREFIX):
+            return None
+        rel = urllib.parse.unquote(media_path[len(MEDIA_PREFIX) :])
+        abs_path = os.path.normpath(os.path.join(self.media_dir, rel))
+        if not abs_path.startswith(os.path.normpath(self.media_dir) + os.sep):
+            return None
+        return abs_path
+
+    def to_media_path(self, abs_path: str) -> str:
+        """absolute -> 'media/...' URL (search.rs:93-99 reverse map)."""
+        root = os.path.normpath(self.media_dir)
+        rel = os.path.relpath(abs_path, root)
+        return MEDIA_PREFIX + rel.replace(os.sep, "/")
+
+    # -- operations -------------------------------------------------------------
+
+    def search(
+        self, query: str, referenced_images: Sequence[str] = (), k: Optional[int] = None
+    ) -> List[dict]:
+        """The full ``web_search_text`` flow (search.rs:20-102), fused.
+
+        referenced_images are 'media/...' URLs of marked results; with any
+        known ones present the Rocchio-refined fused search runs, else plain
+        text search.
+        """
+        k = k or self.args.k
+        text_emb = self.embedder.embed_text(query)
+        selected = [
+            p for p in (self.to_abs_path(m) for m in referenced_images) if p is not None
+        ]
+        if selected:
+            scores, idx = self.index.search_with_feedback(text_emb, selected, k)
+        else:
+            scores, idx = self.index.search(text_emb, k)
+        out = []
+        for row, score in zip(np.asarray(idx).reshape(-1), np.asarray(scores).reshape(-1)):
+            abs_path = self.index.paths[int(row)]
+            media = self.to_media_path(abs_path)
+            out.append(
+                {
+                    # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
+                    "id": urllib.parse.quote(media, safe=""),
+                    "image_path": media,
+                    "score": float(score),
+                }
+            )
+        return out
+
+    def scan(self) -> ScanStats:
+        """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""
+        return scan_directory(
+            self.embedder,
+            self.index,
+            self.media_dir,
+            chunk_size=self.args.chunk_size,
+            decode_workers=self.args.decode_workers,
+        )

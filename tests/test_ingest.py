@@ -1,0 +1,135 @@
+"""Ingest pipeline: walker filter semantics (clip.rs:59-68), decode
+skip-and-log (clip.rs:96-105), idempotent re-scan (clip.rs:74-87), and the
+double-buffered scan loop end-to-end with a tiny model.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from image_search_tpu.config import tiny_test_config
+from image_search_tpu.index import EmbeddingStore, VectorIndex
+from image_search_tpu.ingest import DecodePool, decode_image, find_images, scan_directory
+from image_search_tpu.ingest.walk import is_image_path
+from image_search_tpu.models import init_params
+from image_search_tpu.models.embedder import ClipEmbedder
+
+
+def make_corpus(root, n=12, start=0):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(start)
+    paths = []
+    for i in range(start, start + n):
+        arr = rng.integers(0, 256, size=(40 + i, 50, 3), dtype=np.uint8)
+        p = os.path.join(root, f"img_{i:03d}.png" if i % 2 else f"img_{i:03d}.jpg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg)
+    return ClipEmbedder(params, cfg)
+
+
+def test_extension_filter():
+    """Mirror of the reference's own test_matches (clip.rs:176-234)."""
+    assert not is_image_path("file.txt")
+    assert is_image_path("file.jpg")
+    assert is_image_path("file.PNG")
+    assert not is_image_path("file.mp4")
+    assert not is_image_path("file")
+    assert is_image_path("photo.JPeG")
+    assert not is_image_path(".jpg_not_ext")
+
+
+def test_find_images_walks_and_filters(tmp_path):
+    make_corpus(str(tmp_path / "a"), 4)
+    make_corpus(str(tmp_path / "a" / "nested"), 3)
+    (tmp_path / "a" / "notes.txt").write_text("x")
+    (tmp_path / "a" / "clip.mp4").write_bytes(b"x")
+    found = find_images(str(tmp_path / "a"), shuffle=False)
+    assert len(found) == 7
+    assert all(p.endswith((".png", ".jpg")) for p in found)
+
+
+def test_find_images_shuffles_deterministically(tmp_path):
+    make_corpus(str(tmp_path), 10)
+    a = find_images(str(tmp_path), shuffle=True, seed=42)
+    b = find_images(str(tmp_path), shuffle=True, seed=42)
+    c = find_images(str(tmp_path), shuffle=False)
+    assert a == b
+    assert sorted(a) == sorted(c)
+
+
+def test_decode_failure_skipped(tmp_path, caplog):
+    good = make_corpus(str(tmp_path), 2)
+    bad = str(tmp_path / "broken.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg at all")
+    assert decode_image(bad) is None
+    pool = DecodePool(workers=2)
+    kept, images = pool.decode_batch(good + [bad])
+    pool.close()
+    assert kept == good
+    assert len(images) == 2
+
+
+def test_scan_end_to_end(tmp_path, embedder):
+    media = str(tmp_path / "pics")
+    make_corpus(media, 9)
+    store = EmbeddingStore(str(tmp_path / "idx"), embedder.cfg.projection_dim)
+    index = VectorIndex(embedder.cfg.projection_dim, store=store)
+
+    stats = scan_directory(embedder, index, media, chunk_size=4)
+    assert stats.found == 9
+    assert stats.embedded == 9
+    assert stats.decode_failures == 0
+    assert len(index) == 9
+
+    # re-scan is a no-op (idempotency via dedup)
+    stats2 = scan_directory(embedder, index, media, chunk_size=4)
+    assert stats2.embedded == 0
+    assert stats2.skipped_existing == 9
+
+    # new photos appear, old ones are skipped
+    make_corpus(media, 3, start=100)
+    stats3 = scan_directory(embedder, index, media, chunk_size=4)
+    assert stats3.embedded == 3
+    assert len(index) == 12
+
+
+def test_scan_resume_from_store(tmp_path, embedder):
+    """Interrupted-ingest recovery: a fresh process resumes from disk."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, 6)
+    dim = embedder.cfg.projection_dim
+    store = EmbeddingStore(str(tmp_path / "idx"), dim)
+    index = VectorIndex(dim, store=store)
+    scan_directory(embedder, index, media, chunk_size=3)
+
+    # "crash" and restart: state comes back from the shard manifest
+    store2 = EmbeddingStore(str(tmp_path / "idx"), dim)
+    index2 = VectorIndex.from_store(store2)
+    assert len(index2) == 6
+    stats = scan_directory(embedder, index2, media, chunk_size=3)
+    assert stats.embedded == 0
+
+
+def test_scan_embeddings_match_direct_embed(tmp_path, embedder):
+    """Pipeline output == straight embed_images of the same files."""
+    media = str(tmp_path / "pics")
+    paths = make_corpus(media, 5)
+    index = VectorIndex(embedder.cfg.projection_dim)
+    scan_directory(embedder, index, media, chunk_size=2, shuffle=False)
+
+    imgs = [decode_image(p) for p in paths]
+    want = embedder.embed_images(imgs)
+    got = index.get_raw_embeddings(paths)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,195 @@
+"""HTTP integration tests: the wire contract of the reference's axum router
+(POST /search, GET /scan, /media/*, SPA fallback — main.rs:50-58) against a
+tiny corpus on disk, through a real aiohttp server.
+"""
+
+import asyncio
+import json
+import os
+import urllib.parse
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from image_search_tpu.server.app import build_app
+from image_search_tpu.server.args import ServerArgs, parse_args
+from image_search_tpu.server.engine import SearchEngine
+
+
+def make_corpus(root, n=8):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        arr = rng.integers(0, 256, size=(40, 60, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, f"photo_{i}.jpg"))
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    root = tmp_path_factory.mktemp("srv")
+    media = str(root / "pics")
+    make_corpus(media)
+    os.makedirs(media + "/sub", exist_ok=True)
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(media + "/sub/dark.png")
+    args = ServerArgs(
+        model_weights=str(root / "missing.safetensors"),  # random tiny model
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(root / "idx"),
+        chunk_size=4,
+        k=50,
+    )
+    return SearchEngine(args)
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def client(engine):
+    loop = asyncio.new_event_loop()
+    c = loop.run_until_complete(_make_client(engine))
+    yield c, loop
+    loop.run_until_complete(c.close())
+    loop.close()
+
+
+async def _make_client(engine):
+    app = build_app(engine)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+def test_scan_then_search_flow(client):
+    c, loop = client
+
+    async def flow():
+        # scan embeds the corpus and blocks until done (search.rs:108-118)
+        r = await c.get("/scan")
+        assert r.status == 200
+        stats = await r.json()
+        assert stats["embedded"] == 9
+        assert stats["decode_failures"] == 0
+
+        # search returns the reference wire shape
+        r = await c.post("/search", json={"q": "a dark square"})
+        assert r.status == 200
+        body = await r.json()
+        assert set(body.keys()) == {"images"}
+        assert len(body["images"]) == 9  # k clamped to corpus
+        first = body["images"][0]
+        assert set(first.keys()) >= {"id", "image_path"}
+        assert first["image_path"].startswith("media/")
+        assert first["id"] == urllib.parse.quote(first["image_path"], safe="")
+        return body
+
+    body = loop.run_until_complete(flow())
+
+    async def media_and_feedback():
+        # every result URL must be servable (GET /media/*)
+        path = body["images"][0]["image_path"]
+        r = await c.get("/" + path)
+        assert r.status == 200
+        assert (await r.read())[:4] in (b"\xff\xd8\xff\xe0", b"\x89PNG")
+
+        # relevance-feedback round: mark two, re-search (the Rocchio loop)
+        marked = [img["image_path"] for img in body["images"][:2]]
+        r = await c.post("/search", json={"q": "a dark square", "referenced_images": marked})
+        assert r.status == 200
+        refined = await r.json()
+        assert len(refined["images"]) == 9
+
+        # scores must differ from the plain text search (the query moved)
+        s0 = [i["score"] for i in body["images"]]
+        s1 = [i["score"] for i in refined["images"]]
+        assert s0 != s1
+
+    loop.run_until_complete(media_and_feedback())
+
+
+def test_rescan_is_idempotent(client):
+    c, loop = client
+
+    async def f():
+        r = await c.get("/scan")
+        stats = await r.json()
+        assert stats["embedded"] == 0
+        assert stats["skipped_existing"] == 9
+
+    loop.run_until_complete(f())
+
+
+def test_search_param_validation(client):
+    c, loop = client
+
+    async def f():
+        r = await c.post("/search", data=b"not json", headers={"content-type": "application/json"})
+        assert r.status == 400
+        r = await c.post("/search", json={})  # missing q
+        assert r.status == 400
+        r = await c.post("/search", json={"q": 42})
+        assert r.status == 400
+        # referenced_images defaults to [] (serde default, data/src/lib.rs:7)
+        r = await c.post("/search", json={"q": "ok"})
+        assert r.status == 200
+
+    loop.run_until_complete(f())
+
+
+def test_unknown_referenced_images_ignored(client):
+    c, loop = client
+
+    async def f():
+        r = await c.post(
+            "/search",
+            json={"q": "x", "referenced_images": ["media/nope.jpg", "not-media/../etc"]},
+        )
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["images"]) == 9
+
+    loop.run_until_complete(f())
+
+
+def test_spa_fallback_and_root(client):
+    c, loop = client
+
+    async def f():
+        for path in ("/", "/some/client/route"):
+            r = await c.get(path)
+            assert r.status == 200
+            text = await r.text()
+            assert "<html" in text.lower()
+        r = await c.get("/static/app.js")
+        assert r.status == 200
+
+    loop.run_until_complete(f())
+
+
+def test_path_traversal_blocked(engine):
+    assert engine.to_abs_path("media/../../etc/passwd") is None
+    assert engine.to_abs_path("/etc/passwd") is None
+    assert engine.to_abs_path("media/ok.jpg") is not None
+
+
+def test_cli_flag_names_match_reference():
+    """The reference's short/long flags must parse (server_arguments.rs:8-27)."""
+    args = parse_args(
+        ["-w", "/w.safetensors", "-m", "/tmp/pics", "-c", "123", "-a", "0.0.0.0", "-p", "8080"]
+    )
+    assert args.model_weights == "/w.safetensors"
+    assert args.media_dir == "/tmp/pics"
+    assert args.chunk_size == 123
+    assert args.addr == "0.0.0.0"
+    assert args.port == 8080
+    # defaults mirror the reference
+    d = parse_args([])
+    assert d.media_dir == "~/Pictures"
+    assert d.chunk_size == 500
+    assert d.port == 3000
+    assert d.addr == "127.0.0.1"
