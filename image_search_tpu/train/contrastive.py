@@ -1,0 +1,141 @@
+"""Contrastive (CLIP-style) fine-tuning on a device mesh.
+
+The reference has no training at all (SURVEY.md §2.4) — it consumes frozen
+checkpoints. A production search deployment wants domain adaptation, so this
+module adds the canonical dual-tower objective: symmetric InfoNCE over
+image/text pairs with a learned temperature, as one jitted, mesh-sharded
+train step.
+
+Sharding (GSPMD style — annotate, let XLA place the collectives on ICI):
+- batch: P("data") — data parallelism; the [B, B] logit matrix makes every
+  pair a negative for every other, and XLA inserts the all-gather/psum the
+  global matmul needs.
+- params: replicated by default; with a >1 "model" axis the stacked MLP and
+  attention projections shard column-/row-wise (Megatron-style tensor
+  parallelism) via ``param_shardings`` — only needed for towers that
+  outgrow a chip (ViT-bigG), ViT-L/14 fits comfortably.
+
+No pipeline/sequence/expert parallelism: 24 layers of ViT-L/14 at seq 257
+leave nothing for PP/SP/EP to win (SURVEY.md §5); the scaling axes here are
+batch (data) and corpus (index shards).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from image_search_tpu.config import CLIPConfig
+from image_search_tpu.models import clip as model_lib
+from image_search_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def clip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array):
+    """Symmetric InfoNCE over l2-normalized embeddings.
+
+    Returns (loss, metrics). Labels are the diagonal: pair i matches pair i.
+    """
+    logits = scale * jnp.einsum(
+        "bp,cp->bc", img_emb.astype(jnp.float32), txt_emb.astype(jnp.float32)
+    )
+    B = logits.shape[0]
+    labels = jnp.arange(B)
+    li = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss = 0.5 * (li + lt)
+    acc = (jnp.argmax(logits, axis=-1) == labels).mean()
+    return loss, {"loss": loss, "img_to_txt_acc": acc, "logit_scale": scale}
+
+
+def _tower_block_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Megatron TP for the stacked [L, ...] block params."""
+    s = lambda *spec: NamedSharding(mesh, P(*spec))
+    col = s(None, None, MODEL_AXIS)  # [L, D, M] split output features
+    row = s(None, MODEL_AXIS, None)  # [L, M, D] split input features
+    rep2 = s(None, None)
+    return {
+        "ln1_scale": rep2, "ln1_bias": rep2,
+        "q_w": col, "q_b": s(None, MODEL_AXIS),
+        "k_w": col, "k_b": s(None, MODEL_AXIS),
+        "v_w": col, "v_b": s(None, MODEL_AXIS),
+        "o_w": row, "o_b": rep2,
+        "ln2_scale": rep2, "ln2_bias": rep2,
+        "fc_w": col, "fc_b": s(None, MODEL_AXIS),
+        "proj_w": row, "proj_b": rep2,
+    }
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree: TP on block matmuls when the model axis > 1,
+    everything else replicated."""
+    rep = NamedSharding(mesh, P())
+    if mesh.shape[MODEL_AXIS] <= 1:
+        return jax.tree.map(lambda _: rep, params)
+    blk = _tower_block_shardings(mesh)
+
+    def assign(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "blocks" in names:
+            return blk[names[-1]]
+        return rep
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def make_train_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    compute_dtype=jnp.float32,
+):
+    """Returns (init_fn(params) -> state, step_fn(state, ids, pixels) ->
+    (state, metrics)), jitted over the mesh."""
+
+    def loss_fn(params, input_ids, pixels):
+        img, txt, scale = model_lib.forward(
+            params, cfg, input_ids, pixels, compute_dtype=compute_dtype
+        )
+        return clip_loss(img, txt, scale)
+
+    def step_fn(state: TrainState, input_ids, pixels):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, input_ids, pixels
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    def init_fn(params) -> TrainState:
+        if mesh is not None:
+            params = jax.device_put(params, param_shardings(params, mesh))
+        return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    # Donating the state halves peak memory on TPU, but XLA:CPU's collective
+    # runtime deadlocks (rendezvous timeout) when buffer donation is combined
+    # with tensor-parallel shardings — observed on jax 0.9 with 8 virtual
+    # devices. The virtual-CPU path exists only for tests/dryrun, so donation
+    # is simply disabled there.
+    platform = (mesh.devices.flat[0] if mesh is not None else jax.devices()[0]).platform
+    donate = (0,) if platform != "cpu" else ()
+
+    if mesh is None:
+        return init_fn, jax.jit(step_fn, donate_argnums=donate)
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    jitted = jax.jit(
+        step_fn,
+        donate_argnums=donate,
+        in_shardings=(None, batch_sh, batch_sh),
+    )
+    return init_fn, jitted

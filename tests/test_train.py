@@ -1,0 +1,60 @@
+"""Contrastive training: loss decreases, DP/TP sharded step == unsharded."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_search_tpu.config import tiny_test_config
+from image_search_tpu.models import init_params
+from image_search_tpu.parallel import make_mesh
+from image_search_tpu.train import make_train_step
+
+
+def make_batch(rng, cfg, B):
+    ids = rng.integers(1, cfg.text.eos_token_id - 1, size=(B, cfg.text.context_length))
+    ids[:, 0] = cfg.text.eos_token_id - 1
+    ids[:, -1] = cfg.text.eos_token_id
+    pix = rng.normal(size=(B, cfg.vision.image_size, cfg.vision.image_size, 3))
+    return ids.astype(np.int32), pix.astype(np.float32)
+
+
+def test_loss_decreases(rng):
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg)
+    init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3))
+    state = init_fn(params)
+    ids, pix = make_batch(rng, cfg, 16)
+    losses = []
+    for _ in range(30):
+        state, metrics = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert int(state.step) == 30
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_sharded_step_matches_unsharded(rng, n_data, n_model):
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(1), cfg)
+    ids, pix = make_batch(rng, cfg, 16)
+    opt = optax.sgd(1e-2)
+
+    init_u, step_u = make_train_step(cfg, opt)
+    su = init_u(params)
+    su, mu = step_u(su, jnp.asarray(ids), jnp.asarray(pix))
+
+    mesh = make_mesh(n_data, n_model)
+    init_s, step_s = make_train_step(cfg, opt, mesh=mesh)
+    # step_fn donates its state, so the first branch consumed `params`
+    ss = init_s(init_params(jax.random.key(1), cfg))
+    ss, ms = step_s(ss, jnp.asarray(ids), jnp.asarray(pix))
+
+    assert np.allclose(float(mu["loss"]), float(ms["loss"]), atol=1e-5)
+    # updated parameters must agree across sharding layouts
+    flat_u = jax.tree.leaves(su.params)
+    flat_s = jax.tree.leaves(ss.params)
+    for a, b in zip(flat_u, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
