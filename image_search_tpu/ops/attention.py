@@ -1,0 +1,108 @@
+"""Fused multi-head attention (Pallas/TPU) for CLIP-scale sequences.
+
+Why not plain XLA: for ViT-L/14 the [B, H, 257, 257] attention logits are
+~540 MB/layer in bf16 at batch 256. XLA materializes them in HBM between the
+QK matmul and the softmax, and again before the PV matmul — at ~800 GB/s that
+is most of the attention wall time (measured: softmax alone = 26% of the
+whole forward). CLIP sequences are tiny (257 vision / 77 text tokens), so a
+flash-style BLOCKED kernel is overkill — instead each (batch, head) row fits
+entirely in VMEM: one grid step = QK^T (MXU, f32 accum) -> masked softmax
+(VPU, f32) -> PV (MXU), with logits never leaving VMEM.
+
+Numerics match the reference path (f32 softmax, pre-scaled q) to bf16
+round-off; parity is tested in tests/test_attention.py, including the causal
+text-tower mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, causal: bool, sm_scale: float, heads: int):
+    # blocks: q/k/v/o [1, S, H*Hd]; one batch row (all heads) per grid step,
+    # so each DMA'd byte feeds H heads of MXU work instead of one.
+    S = q_ref.shape[1]
+    Hd = q_ref.shape[2] // heads
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        causal_mask = row >= col
+    for h in range(heads):  # static unroll; Mosaic pipelines the matmuls
+        sl = slice(h * Hd, (h + 1) * Hd)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [S, S] f32 — never leaves VMEM
+        logits = logits * sm_scale
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "sm_scale", "interpret"))
+def fused_attention_packed(
+    q: jax.Array,  # [B, S, H*Hd] — projection output layout, no transpose
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T * sm_scale [+ causal]) v per head, packed layout."""
+    B, S, DH = q.shape
+    spec = pl.BlockSpec((1, S, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, causal=causal, sm_scale=sm_scale, heads=heads),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, DH), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def fused_attention(
+    q: jax.Array,  # [B, S, H, Hd]
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, S, H, Hd] convenience wrapper over fused_attention_packed."""
+    B, S, H, Hd = q.shape
+    pack = lambda x: x.reshape(B, S, H * Hd)
+    out = fused_attention_packed(
+        pack(q), pack(k), pack(v), heads=H, causal=causal, sm_scale=sm_scale,
+        interpret=interpret,
+    )
+    return out.reshape(B, S, H, Hd)
+
+
+def attention_reference(q, k, v, causal=False, sm_scale=1.0):
+    """Plain-XLA oracle with identical semantics (tests + non-TPU fallback)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale
+    if causal:
+        S = q.shape[1]
+        mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

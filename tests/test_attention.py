@@ -1,0 +1,54 @@
+"""Fused attention kernel parity (interpret mode on CPU) vs the XLA oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_search_tpu.ops.attention import (
+    attention_reference,
+    fused_attention,
+    fused_attention_packed,
+)
+
+
+@pytest.mark.parametrize(
+    "B,S,H,Hd,causal",
+    [
+        (2, 257, 16, 64, False),  # ViT-L/14 vision shape
+        (2, 77, 12, 64, True),  # CLIP text shape
+        (1, 16, 4, 16, False),
+        (3, 9, 2, 8, True),  # odd sizes
+    ],
+)
+def test_fused_matches_reference(B, S, H, Hd, causal):
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, H, Hd), jnp.float32) * 0.3 for kk in ks)
+    want = attention_reference(q, k, v, causal=causal, sm_scale=Hd**-0.5)
+    got = fused_attention(q, k, v, causal=causal, sm_scale=Hd**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_layout_equals_4d():
+    B, S, H, Hd = 2, 33, 4, 16
+    ks = jax.random.split(jax.random.key(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, H, Hd), jnp.float32) for kk in ks)
+    a = fused_attention(q, k, v, interpret=True)
+    b = fused_attention_packed(
+        q.reshape(B, S, H * Hd),
+        k.reshape(B, S, H * Hd),
+        v.reshape(B, S, H * Hd),
+        heads=H,
+        interpret=True,
+    ).reshape(B, S, H, Hd)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_model_uses_reference_path_on_cpu():
+    """On the CPU backend the model must take the plain-XLA path (the Pallas
+    kernel only compiles for TPU; interpret mode is test-only)."""
+    from image_search_tpu.models.clip import _use_fused_attention
+
+    assert jax.default_backend() == "cpu"
+    assert not _use_fused_attention()
