@@ -1,0 +1,101 @@
+"""Native C++ decoder parity vs PIL, plus throughput sanity.
+
+Skipped entirely when the .so isn't built (`make -C native`).
+"""
+
+import io
+import os
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_search_tpu.ingest import native_decode
+
+pytestmark = pytest.mark.skipif(
+    not native_decode.available(), reason="native decoder not built"
+)
+
+
+def jpeg_bytes(arr, quality=90):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def png_bytes(arr, mode=None):
+    im = Image.fromarray(arr) if mode is None else Image.fromarray(arr, mode)
+    buf = io.BytesIO()
+    im.save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_jpeg_matches_pil(rng):
+    arr = rng.integers(0, 256, size=(123, 211, 3), dtype=np.uint8)
+    data = jpeg_bytes(arr)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    got = native_decode.decode_bytes(data)
+    assert got is not None and got.shape == want.shape
+    # same bitstream, two IDCT implementations: tiny per-pixel differences
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_jpeg_dct_scaling(rng):
+    arr = rng.integers(0, 256, size=(1600, 1200, 3), dtype=np.uint8)
+    data = jpeg_bytes(arr)
+    got = native_decode.decode_bytes(data, max_side=512)
+    # longest edge must stay >= 512 with the largest power-of-2 downscale: 1600/2=800
+    assert got is not None and got.shape == (800, 600, 3)
+
+
+def test_png_rgb_exact(rng):
+    arr = rng.integers(0, 256, size=(64, 80, 3), dtype=np.uint8)
+    got = native_decode.decode_bytes(png_bytes(arr))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_png_palette_gray_rgba(rng):
+    gray = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    got = native_decode.decode_bytes(png_bytes(gray, "L"))
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(40, 40, 4), dtype=np.uint8)
+    got = native_decode.decode_bytes(png_bytes(rgba, "RGBA"))
+    np.testing.assert_array_equal(got, rgba[:, :, :3])
+
+
+def test_garbage_returns_none():
+    assert native_decode.decode_bytes(b"not an image") is None
+    assert native_decode.decode_bytes(b"\xff\xd8\xff truncated jpeg!") is None
+    assert native_decode.decode_bytes(b"\x89PNG\r\n\x1a\n broken") is None
+
+
+def test_decode_image_uses_native(tmp_path, rng):
+    from image_search_tpu.ingest.decode import decode_image
+
+    arr = rng.integers(0, 256, size=(100, 100, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    out = decode_image(p)
+    assert out is not None and out.shape == (100, 100, 3)
+
+
+@pytest.mark.slow
+def test_native_faster_than_pil(rng):
+    arr = rng.integers(0, 256, size=(2000, 3000, 3), dtype=np.uint8)
+    data = jpeg_bytes(arr)
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        native_decode.decode_bytes(data, max_side=512)
+    t_native = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        im = Image.open(io.BytesIO(data))
+        im.draft("RGB", (512, 512))
+        np.asarray(im.convert("RGB"))
+    t_pil = time.perf_counter() - t0
+    # not a strict perf assertion (CI noise) — just ensure it's not slower
+    assert t_native < t_pil * 1.5, (t_native, t_pil)
