@@ -5,7 +5,7 @@ Replaces the reference's SurrealDB MTREE index and its two query paths:
 - KNN query ``SELECT ... WHERE embedding <|1000|> $reference``
   (``server/src/search.rs:70-77``) -> one jitted program: l2-normalize the
   query, one [B, D] x [D, N] matmul on the MXU, mask invalid rows,
-  ``lax.top_k``. Exact (not approximate like MTREE), and microseconds
+  ``lax.top_k``. Exact (not approximate like MTREE), and milliseconds
   instead of a WebSocket round-trip.
 - the Rocchio relevance-feedback step (fetch selected embeddings, average
   with the text vector at 1/2 : 1/2k weights, re-search;
@@ -17,6 +17,13 @@ Storage layout: rows are kept l2-NORMALIZED (cosine == dot product) next to
 their original norms, so the raw vectors the reference stores
 (``clip.rs:124``) are recoverable exactly as ``emb * norm`` — the Rocchio
 average is computed in raw space, bit-matching the reference's semantics.
+
+Quantization (BASELINE config #5): ``quantize=`` selects the row format —
+  - None       f32 rows (exact; 10M x 768 = 30 GB, needs sharding)
+  - "bfloat16" 2x smaller, MXU-native; cosine error ~1e-3
+  - "int8"     4x smaller with per-row symmetric scales; the score matmul
+               runs int8 x int8 -> int32 on the MXU at 2x bf16 throughput
+               and is rescaled in f32 (10M x 768 = 7.7 GB -> fits ONE chip)
 
 Capacity is bucketed (powers of two) and rows are appended on-device with
 donated ``dynamic_update_slice`` blocks, so ingest never recompiles per
@@ -39,13 +46,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from image_search_tpu.index.store import EmbeddingStore
-from image_search_tpu.parallel.mesh import DATA_AXIS, row_sharding
-from image_search_tpu.parallel.sharded_search import sharded_topk
+from image_search_tpu.parallel.mesh import DATA_AXIS
+from image_search_tpu.parallel.sharded_search import shard_scores, sharded_topk
 
 log = logging.getLogger(__name__)
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 _UPDATE_BLOCK = 4096  # rows per on-device append slice
+
+QUANT_DTYPES = {None: jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
 
 
 def _next_capacity(n: int, multiple: int) -> int:
@@ -70,58 +79,63 @@ def _write_block(buf: jax.Array, block: jax.Array, offset: jax.Array) -> jax.Arr
 
 @partial(jax.jit, donate_argnums=(0,))
 def _grow(new_buf: jax.Array, old_buf: jax.Array) -> jax.Array:
-    return jax.lax.dynamic_update_slice(
-        new_buf, old_buf, (0,) * old_buf.ndim
-    )
+    return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _search_local(emb, size, queries, k: int):
-    q = _l2(queries.astype(jnp.float32))
-    scores = jnp.einsum("bd,nd->bn", q, emb, preferred_element_type=jnp.float32)
-    valid = jax.lax.broadcasted_iota(jnp.int32, (1, emb.shape[0]), 1) < size
-    scores = jnp.where(valid, scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+def _dequant_rows(emb, scales, idx):
+    """Gather rows back to f32 normalized space."""
+    rows = emb[idx]
+    if emb.dtype == jnp.int8:
+        return rows.astype(jnp.float32) * scales[idx][:, None]
+    return rows.astype(jnp.float32)
 
 
-@lru_cache(maxsize=64)
-def _sharded_search_fn(mesh: Mesh, k: int):
-    @jax.jit
-    def fn(emb, size, queries):
-        q = _l2(queries.astype(jnp.float32))
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0],), 0) < size
-        )
-        return sharded_topk(emb, valid, q, k, mesh)
-
-    return fn
-
-
-def _rocchio_query(emb, norms, text_emb, sel_idx):
+def _rocchio_query(emb, scales, norms, text_emb, sel_idx):
     """Reference Rocchio weighting (search.rs:60-67), in raw-vector space:
     query = average( average(selected_raw), text_raw )."""
     mask = (sel_idx >= 0).astype(jnp.float32)
     idx = jnp.maximum(sel_idx, 0)
-    raw = emb[idx] * norms[idx][:, None]  # un-normalize gathered rows
+    raw = _dequant_rows(emb, scales, idx) * norms[idx][:, None]
     raw = raw * mask[:, None]
     sel_avg = raw.sum(axis=0) / jnp.maximum(mask.sum(), 1.0)
     return (sel_avg + text_emb.astype(jnp.float32)) * 0.5
 
 
+def _valid_mask(n: int, size):
+    return jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < size
+
+
 @partial(jax.jit, static_argnames=("k",))
-def _feedback_search_local(emb, norms, size, text_emb, sel_idx, k: int):
-    q = _rocchio_query(emb, norms, text_emb, sel_idx)[None, :]
-    return _search_local(emb, size, q, k)
+def _search_local(emb, size, queries, k: int, scales=None):
+    q = _l2(queries.astype(jnp.float32))
+    scores = shard_scores(emb, q, scales)
+    scores = jnp.where(_valid_mask(emb.shape[0], size)[None, :], scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _feedback_search_local(emb, norms, size, text_emb, sel_idx, k: int, scales=None):
+    q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
+    return _search_local(emb, size, q, k, scales)
 
 
 @lru_cache(maxsize=64)
-def _sharded_feedback_fn(mesh: Mesh, k: int):
+def _sharded_search_fn(mesh: Mesh, k: int, quantized: bool):
     @jax.jit
-    def fn(emb, norms, size, text_emb, sel_idx):
-        q = _rocchio_query(emb, norms, text_emb, sel_idx)[None, :]
+    def fn(emb, size, queries, scales=None):
+        q = _l2(queries.astype(jnp.float32))
+        return sharded_topk(emb, _valid_mask(emb.shape[0], size), q, k, mesh, scales)
+
+    return fn
+
+
+@lru_cache(maxsize=64)
+def _sharded_feedback_fn(mesh: Mesh, k: int, quantized: bool):
+    @jax.jit
+    def fn(emb, norms, size, text_emb, sel_idx, scales=None):
+        q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
         qn = _l2(q)
-        valid = jax.lax.broadcasted_iota(jnp.int32, (emb.shape[0],), 0) < size
-        return sharded_topk(emb, valid, qn, k, mesh)
+        return sharded_topk(emb, _valid_mask(emb.shape[0], size), qn, k, mesh, scales)
 
     return fn
 
@@ -135,18 +149,24 @@ class VectorIndex:
         mesh: Optional[Mesh] = None,
         min_capacity: int = 8192,
         store: Optional[EmbeddingStore] = None,
+        quantize: Optional[str] = None,
     ):
+        if quantize not in QUANT_DTYPES:
+            raise ValueError(f"quantize must be one of {list(QUANT_DTYPES)}")
         self.dim = dim
         self.mesh = mesh
         self.store = store
+        self.quantize = quantize
+        self._row_dtype = QUANT_DTYPES[quantize]
         self._n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self._cap_multiple = max(min_capacity, self._n_shards * _UPDATE_BLOCK)
         self._paths: List[str] = []
         self._row: dict[str, int] = {}
         self._size = 0
         cap = self._cap_multiple
-        self._emb = self._device_zeros((cap, dim))
+        self._emb = self._device_zeros((cap, dim), self._row_dtype)
         self._norms = self._device_zeros((cap,))
+        self._scales = self._device_zeros((cap,)) if quantize == "int8" else None
         if store is not None and len(store):
             for paths, emb in store.iter_shards():
                 self._add_in_memory(paths, emb)
@@ -159,14 +179,19 @@ class VectorIndex:
             return None
         return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
-    def _device_zeros(self, shape):
-        z = jnp.zeros(shape, jnp.float32)
+    def _device_zeros(self, shape, dtype=jnp.float32):
+        z = jnp.zeros(shape, dtype)
         sh = self._sharding(len(shape))
         return jax.device_put(z, sh) if sh is not None else z
 
     @classmethod
-    def from_store(cls, store: EmbeddingStore, mesh: Optional[Mesh] = None) -> "VectorIndex":
-        return cls(store.dim, mesh=mesh, store=store)
+    def from_store(
+        cls,
+        store: EmbeddingStore,
+        mesh: Optional[Mesh] = None,
+        quantize: Optional[str] = None,
+    ) -> "VectorIndex":
+        return cls(store.dim, mesh=mesh, store=store, quantize=quantize)
 
     # -- mutation -------------------------------------------------------------
 
@@ -182,11 +207,21 @@ class VectorIndex:
         if n <= cap:
             return
         new_cap = _next_capacity(n, self._cap_multiple)
-        new_emb = self._device_zeros((new_cap, self.dim))
-        new_norms = self._device_zeros((new_cap,))
-        self._emb = _grow(new_emb, self._emb)
-        self._norms = _grow(new_norms, self._norms)
+        self._emb = _grow(self._device_zeros((new_cap, self.dim), self._row_dtype), self._emb)
+        self._norms = _grow(self._device_zeros((new_cap,)), self._norms)
+        if self._scales is not None:
+            self._scales = _grow(self._device_zeros((new_cap,)), self._scales)
         log.info("index capacity grown to %d", new_cap)
+
+    def _quantize_host(self, normalized: np.ndarray):
+        if self.quantize == "int8":
+            amax = np.abs(normalized).max(axis=1)
+            scale = np.maximum(amax, 1e-12) / 127.0
+            q = np.clip(np.round(normalized / scale[:, None]), -127, 127).astype(np.int8)
+            return q, scale.astype(np.float32)
+        if self.quantize == "bfloat16":
+            return jnp.asarray(normalized).astype(jnp.bfloat16), None
+        return normalized, None
 
     def _add_in_memory(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
         embeddings = np.asarray(embeddings, np.float32)
@@ -201,17 +236,23 @@ class VectorIndex:
 
         norms = np.linalg.norm(embeddings, axis=1)
         normalized = embeddings / np.maximum(norms, 1e-12)[:, None]
+        rows, scales = self._quantize_host(normalized)
+        rows = np.asarray(rows)
 
         off = 0
         while off < n:
             m = min(_UPDATE_BLOCK, n - off)
-            blk = np.zeros((_UPDATE_BLOCK, self.dim), np.float32)
-            blk[:m] = normalized[off : off + m]
+            blk = np.zeros((_UPDATE_BLOCK, self.dim), rows.dtype)
+            blk[:m] = rows[off : off + m]
             nrm = np.zeros((_UPDATE_BLOCK,), np.float32)
             nrm[:m] = norms[off : off + m]
             pos = jnp.asarray(self._size + off, jnp.int32)
             self._emb = _write_block(self._emb, jnp.asarray(blk), pos)
             self._norms = _write_block(self._norms, jnp.asarray(nrm), pos)
+            if self._scales is not None:
+                scl = np.zeros((_UPDATE_BLOCK,), np.float32)
+                scl[:m] = scales[off : off + m]
+                self._scales = _write_block(self._scales, jnp.asarray(scl), pos)
             off += m
 
         for i, p in enumerate(paths):
@@ -244,9 +285,11 @@ class VectorIndex:
         k = self._clamp_k(k)
         size = jnp.asarray(self._size, jnp.int32)
         if self.mesh is None:
-            s, i = _search_local(self._emb, size, q, k)
+            s, i = _search_local(self._emb, size, q, k, self._scales)
         else:
-            s, i = _sharded_search_fn(self.mesh, k)(self._emb, size, q)
+            s, i = _sharded_search_fn(self.mesh, k, self.quantize == "int8")(
+                self._emb, size, q, self._scales
+            )
         return np.asarray(s), np.asarray(i)
 
     def search_with_feedback(
@@ -276,9 +319,13 @@ class VectorIndex:
         size = jnp.asarray(self._size, jnp.int32)
         sel = jnp.asarray(sel)
         if self.mesh is None:
-            s, i = _feedback_search_local(self._emb, self._norms, size, text, sel, k)
+            s, i = _feedback_search_local(
+                self._emb, self._norms, size, text, sel, k, self._scales
+            )
         else:
-            s, i = _sharded_feedback_fn(self.mesh, k)(self._emb, self._norms, size, text, sel)
+            s, i = _sharded_feedback_fn(self.mesh, k, self.quantize == "int8")(
+                self._emb, self._norms, size, text, sel, self._scales
+            )
         return np.asarray(s), np.asarray(i)
 
     # -- lookups ---------------------------------------------------------------
@@ -295,5 +342,5 @@ class VectorIndex:
         if not rows:
             return np.zeros((0, self.dim), np.float32)
         idx = jnp.asarray(np.asarray(rows))
-        raw = self._emb[idx] * self._norms[idx][:, None]
+        raw = _dequant_rows(self._emb, self._scales, idx) * self._norms[idx][:, None]
         return np.asarray(raw)

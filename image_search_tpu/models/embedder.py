@@ -27,7 +27,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from image_search_tpu.config import CLIPConfig
-from image_search_tpu.models import clip as model_lib
 from image_search_tpu.ops.preprocess import fused_preprocess, pack_batch
 from image_search_tpu.parallel.mesh import DATA_AXIS
 
@@ -67,11 +66,14 @@ class ClipEmbedder:
             params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
 
+        from image_search_tpu.models import get_model_module
+
+        self._model = get_model_module(cfg)  # clip | siglip behind one API
         self._encode_text = jax.jit(
-            partial(model_lib.encode_text, cfg=cfg, compute_dtype=self.compute_dtype)
+            partial(self._model.encode_text, cfg=cfg, compute_dtype=self.compute_dtype)
         )
         self._encode_pixels = jax.jit(
-            partial(model_lib.encode_image, cfg=cfg, compute_dtype=self.compute_dtype)
+            partial(self._model.encode_image, cfg=cfg, compute_dtype=self.compute_dtype)
         )
         self._embed_u8 = jax.jit(self._embed_u8_impl)
 
@@ -81,7 +83,7 @@ class ClipEmbedder:
         pixels = fused_preprocess(
             u8, A_h, A_w, mode=self.preprocess_mode, out_dtype=self.compute_dtype
         )
-        return model_lib.encode_image(
+        return self._model.encode_image(
             params, self.cfg, pixels, compute_dtype=self.compute_dtype
         )
 

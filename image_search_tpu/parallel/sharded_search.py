@@ -7,11 +7,16 @@ its shard and contributes k candidates, so the collective moves
 ``devices * k`` (score, index) pairs per query instead of N scores. XLA
 compiles the ``all_gather`` onto ICI — the role NCCL allgather would play in
 a GPU design (SURVEY.md §5, distributed-communication row).
+
+Supports the quantized row formats of ``index.index``: pass ``scales`` for
+int8 rows (per-row dequantization factors); the int8 matmul runs on the MXU
+at 2x bf16 rate with i32 accumulation and is rescaled in f32 afterward.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +28,35 @@ from image_search_tpu.parallel.mesh import DATA_AXIS
 NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
 
 
+def quantize_rows_int8(x: jax.Array):
+    """[N, D] f32 -> (int8 values, f32 per-row scales). Symmetric."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+def shard_scores(emb_l: jax.Array, q: jax.Array, scales_l: Optional[jax.Array]):
+    """[B, D] queries x one shard of rows -> [B, n_local] f32 cosine scores."""
+    if emb_l.dtype == jnp.int8:
+        qi, qs = quantize_rows_int8(q)
+        s32 = jax.lax.dot_general(
+            qi, emb_l, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return s32.astype(jnp.float32) * qs[:, None] * scales_l[None, :]
+    scores = jnp.einsum(
+        "bd,nd->bn", q.astype(emb_l.dtype), emb_l, preferred_element_type=jnp.float32
+    )
+    return scores.astype(jnp.float32)
+
+
 def sharded_topk(
-    emb: jax.Array,  # [N, D], rows l2-normalized, sharded P(data, None)
+    emb: jax.Array,  # [N, D] rows (f32/bf16 normalized, or int8), P(data, None)
     valid: jax.Array,  # [N] bool, sharded P(data)
-    queries: jax.Array,  # [B, D] l2-normalized, replicated
+    queries: jax.Array,  # [B, D] l2-normalized f32, replicated
     k: int,
     mesh: Mesh,
+    scales: Optional[jax.Array] = None,  # [N] f32 for int8 rows, P(data)
 ):
     """Exact cosine top-k over a row-sharded corpus.
 
@@ -42,18 +70,22 @@ def sharded_topk(
     local_n = N // n_shards
     local_k = min(k, local_n)
 
+    in_specs = [P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)]
+    args = [emb, valid, queries]
+    if scales is not None:
+        in_specs.append(P(DATA_AXIS))
+        args.append(scales)
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, None), P(None, None)),
         check_rep=False,
     )
-    def _search(emb_l, valid_l, q):
-        # [B, local_n] similarity on this shard only
-        scores = jnp.einsum(
-            "bd,nd->bn", q, emb_l, preferred_element_type=jnp.float32
-        )
+    def _search(emb_l, valid_l, q, *maybe_scales):
+        scales_l = maybe_scales[0] if maybe_scales else None
+        scores = shard_scores(emb_l, q, scales_l)
         scores = jnp.where(valid_l[None, :], scores, NEG_INF)
         s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
         shard_id = jax.lax.axis_index(DATA_AXIS)
@@ -71,4 +103,4 @@ def sharded_topk(
         m_i = jnp.take_along_axis(all_i, m_pos, axis=1)
         return m_s, m_i
 
-    return _search(emb, valid, queries)
+    return _search(*args)

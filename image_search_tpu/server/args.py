@@ -21,6 +21,7 @@ class ServerArgs:
     port: int = 3000
     # new (replace --surrealdb-*):
     index_dir: str = "./index"
+    index_quantize: Optional[str] = None  # None|bfloat16|int8 row storage
     tokenizer_dir: Optional[str] = None
     model: str = "clip-vit-large-patch14"
     preprocess_mode: str = "hf"
@@ -50,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--port", type=int, default=d.port)
     p.add_argument("--index-dir", default=d.index_dir,
                    help="embedding store directory (replaces SurrealDB)")
+    p.add_argument("--index-quantize", choices=["bfloat16", "int8"], default=d.index_quantize,
+                   help="device row storage (int8 fits 10M vectors on one chip)")
     p.add_argument("--tokenizer-dir", default=d.tokenizer_dir,
                    help="dir with vocab.json+merges.txt (CLIP BPE)")
     p.add_argument("--model", default=d.model,

@@ -63,7 +63,12 @@ class SearchEngine:
             preprocess_mode=args.preprocess_mode,
         )
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
-        self.index = VectorIndex(cfg.projection_dim, mesh=self.mesh, store=store)
+        self.index = VectorIndex(
+            cfg.projection_dim,
+            mesh=self.mesh,
+            store=store,
+            quantize=args.index_quantize,
+        )
         log.info(
             "engine ready: model=%s dim=%d corpus=%d devices=%d",
             cfg.name,
@@ -87,7 +92,9 @@ class SearchEngine:
             path,
             cfg.name,
         )
-        return model_lib.init_params(jax.random.key(0), cfg), cfg
+        from image_search_tpu.models import get_model_module
+
+        return get_model_module(cfg).init_params(jax.random.key(0), cfg), cfg
 
     def _load_tokenizer(self):
         d = self.args.tokenizer_dir
