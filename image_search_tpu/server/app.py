@@ -78,8 +78,17 @@ def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.App
     async def index_html(request: web.Request) -> web.StreamResponse:
         return web.FileResponse(os.path.join(static_dir, "index.html"))
 
+    async def metrics(request: web.Request) -> web.Response:
+        from image_search_tpu.utils.metrics import global_metrics
+
+        snap = global_metrics.snapshot()
+        snap["gauges"]["corpus_size"] = float(len(engine.index))
+        snap["model"] = engine.cfg.name
+        return web.json_response(snap)
+
     app.router.add_post("/search", search)
     app.router.add_get("/scan", scan)
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/", index_html)
     if os.path.isdir(engine.media_dir):
         app.router.add_static("/media", engine.media_dir, follow_symlinks=True)
@@ -100,6 +109,9 @@ def main(argv=None) -> None:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     args = parse_args(argv)
+    from image_search_tpu.utils.profiling import maybe_start_profiler
+
+    maybe_start_profiler(args.profiler_port)
     engine = SearchEngine(args)
     app = build_app(engine, args.static_dir)
     log.info("serving on http://%s:%d (media: %s)", args.addr, args.port, engine.media_dir)

@@ -31,6 +31,7 @@ class ServerArgs:
     decode_workers: int = 16
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     static_dir: Optional[str] = None
+    profiler_port: Optional[int] = None  # jax.profiler trace server
 
     def expanded_media_dir(self) -> str:
         # shellexpand_media_dir (server_arguments.rs:35-37)
@@ -66,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=d.k)
     p.add_argument("--static-dir", default=d.static_dir,
                    help="SPA dist dir (defaults to the bundled client)")
+    p.add_argument("--profiler-port", type=int, default=d.profiler_port,
+                   help="start a jax.profiler trace server on this port")
     return p
 
 

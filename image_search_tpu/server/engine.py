@@ -27,6 +27,7 @@ from image_search_tpu.models.embedder import ClipEmbedder
 from image_search_tpu.parallel.mesh import make_mesh, maybe_init_distributed
 from image_search_tpu.server.args import ServerArgs
 from image_search_tpu.tokenizer import CLIPBPETokenizer, HashTokenizer
+from image_search_tpu.utils.metrics import global_metrics
 
 log = logging.getLogger(__name__)
 
@@ -137,14 +138,19 @@ class SearchEngine:
         text search.
         """
         k = k or self.args.k
-        text_emb = self.embedder.embed_text(query)
+        with global_metrics.timer("text_embed"):
+            text_emb = self.embedder.embed_text(query)
         selected = [
             p for p in (self.to_abs_path(m) for m in referenced_images) if p is not None
         ]
+        with global_metrics.timer("index_search"):
+            if selected:
+                scores, idx = self.index.search_with_feedback(text_emb, selected, k)
+            else:
+                scores, idx = self.index.search(text_emb, k)
+        global_metrics.inc("searches")
         if selected:
-            scores, idx = self.index.search_with_feedback(text_emb, selected, k)
-        else:
-            scores, idx = self.index.search(text_emb, k)
+            global_metrics.inc("searches_with_feedback")
         out = []
         for row, score in zip(np.asarray(idx).reshape(-1), np.asarray(scores).reshape(-1)):
             abs_path = self.index.paths[int(row)]
@@ -161,10 +167,17 @@ class SearchEngine:
 
     def scan(self) -> ScanStats:
         """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""
-        return scan_directory(
-            self.embedder,
-            self.index,
-            self.media_dir,
-            chunk_size=self.args.chunk_size,
-            decode_workers=self.args.decode_workers,
-        )
+        with global_metrics.timer("scan"):
+            stats = scan_directory(
+                self.embedder,
+                self.index,
+                self.media_dir,
+                chunk_size=self.args.chunk_size,
+                decode_workers=self.args.decode_workers,
+            )
+        global_metrics.inc("scans")
+        global_metrics.inc("images_embedded", stats.embedded)
+        global_metrics.inc("decode_failures", stats.decode_failures)
+        global_metrics.gauge("corpus_size", float(len(self.index)))
+        global_metrics.gauge("last_scan_images_per_sec", round(stats.images_per_sec, 2))
+        return stats

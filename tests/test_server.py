@@ -193,3 +193,18 @@ def test_cli_flag_names_match_reference():
     assert d.chunk_size == 500
     assert d.port == 3000
     assert d.addr == "127.0.0.1"
+
+
+def test_metrics_endpoint(client):
+    c, loop = client
+
+    async def f():
+        r = await c.get("/metrics")
+        assert r.status == 200
+        m = await r.json()
+        assert m["gauges"]["corpus_size"] == 9.0
+        assert m["counters"]["searches"] >= 1
+        assert "index_search" in m["latencies"]
+        assert m["latencies"]["index_search"]["p50_ms"] >= 0
+
+    loop.run_until_complete(f())
