@@ -63,7 +63,16 @@ class ClipEmbedder:
         self._n_data = mesh.shape[DATA_AXIS] if mesh is not None else 1
 
         if mesh is not None:
-            params = jax.device_put(params, NamedSharding(mesh, P()))
+            from image_search_tpu.parallel.mesh import MODEL_AXIS
+
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                # tensor-parallel inference for towers that outgrow a chip
+                # (ViT-bigG): shard the stacked block matmuls Megatron-style
+                from image_search_tpu.train.contrastive import param_shardings
+
+                params = jax.device_put(params, param_shardings(params, mesh))
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
 
         from image_search_tpu.models import get_model_module

@@ -167,3 +167,52 @@ def test_bf16_policy_close_to_f32(tiny_pair, rng):
         jclip.encode_image(params, cfg, jnp.asarray(pixels), compute_dtype=jnp.bfloat16)
     ).astype(np.float32)
     assert cosine(f32, bf16).min() > 0.99
+
+
+def test_openclip_gelu_variant_parity(rng):
+    """OpenCLIP bigG-style config (plain gelu instead of quick_gelu) must
+    match an HF CLIPModel built with hidden_act='gelu' — covers the
+    openclip-vit-bigG-14 preset's numerics at tiny dims."""
+    cfg = cfglib.CLIPConfig(
+        name="openclip-tiny-test",
+        text=cfglib.TextConfig(
+            hidden_size=64, num_layers=2, num_heads=4, act="gelu",
+            vocab_size=128, context_length=16, eos_token_id=127,
+        ),
+        vision=cfglib.VisionConfig(
+            hidden_size=96, num_layers=2, num_heads=4, act="gelu",
+            image_size=28, patch_size=14, mlp_size_override=512,
+        ),
+        projection_dim=32,
+    )
+    from transformers import CLIPConfig as HFConfig, CLIPModel
+
+    hf_cfg = HFConfig(
+        text_config=dict(
+            vocab_size=128, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=16, hidden_act="gelu",
+            eos_token_id=127, bos_token_id=126, pad_token_id=0,
+        ),
+        vision_config=dict(
+            hidden_size=96, intermediate_size=512, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=14,
+            hidden_act="gelu",
+        ),
+        projection_dim=32,
+    )
+    torch.manual_seed(1)
+    model = CLIPModel(hf_cfg).eval()
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    ids = make_text_ids(cfg, 2, rng)
+    pixels = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_t = model.get_text_features(input_ids=torch.from_numpy(ids.astype(np.int64))).numpy()
+        want_v = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+    got_t = np.asarray(jclip.encode_text(params, cfg, jnp.asarray(ids)))
+    got_v = np.asarray(jclip.encode_image(params, cfg, jnp.asarray(pixels)))
+    assert cosine(got_t, want_t).min() > 0.99999
+    assert cosine(got_v, want_v).min() > 0.99999
