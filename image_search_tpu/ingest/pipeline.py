@@ -55,17 +55,32 @@ def scan_directory(
     shuffle: bool = True,
     seed: Optional[int] = None,
     progress: Optional[Callable[[str], None]] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> ScanStats:
     """Embed every new image under ``media_dir`` into ``index``.
 
     chunk_size defaults to 500 to match ``--chunk-size``
     (server_arguments.rs:12-13).
+
+    Multi-host ingest: with ``process_count > 1`` (e.g.
+    ``jax.process_index()/process_count()`` on a pod), each process claims a
+    deterministic hash partition of the paths, so hosts decode disjoint
+    subsets while their chips cooperate in the data-parallel embed — the
+    per-chip host-feeding component from SURVEY.md §2.4.
     """
     t0 = time.monotonic()
     stats = ScanStats()
     pool = DecodePool(workers=decode_workers)
     try:
         all_paths = find_images(media_dir, shuffle=shuffle, seed=seed)
+        if process_count > 1:
+            import zlib
+
+            all_paths = [
+                p for p in all_paths
+                if zlib.crc32(p.encode()) % process_count == process_index
+            ]
         stats.found = len(all_paths)
 
         # dedup before decode (clip.rs:74-87): only new paths cost anything

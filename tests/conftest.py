@@ -20,6 +20,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess  # noqa: E402
+
+# Build the native decoder if the toolchain is available, so its tests and
+# the native ingest path are exercised rather than silently skipped.
+_so = os.path.join(
+    os.path.dirname(__file__), "..", "image_search_tpu", "ingest", "_native_decoder.so"
+)
+if not os.path.exists(_so):
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(os.path.dirname(__file__), "..", "native")],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # tests fall back to the PIL path
+
 import pytest  # noqa: E402
 
 

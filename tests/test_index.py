@@ -219,3 +219,15 @@ def test_sharded_k_larger_than_shard(rng, mesh8):
     ws, wi = numpy_topk(emb, q[None], 1000)
     np.testing.assert_allclose(s, ws, rtol=1e-5, atol=1e-5)
     assert set(i[0].tolist()) == set(wi[0].tolist())
+
+
+def test_approx_search_on_cpu_falls_back_exact(rng):
+    """approx=True must run everywhere; on CPU approx_max_k reduces to an
+    exact top-k, so results equal the exact path."""
+    paths, emb = make_data(rng, 400)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    q = rng.normal(size=DIM).astype(np.float32)
+    se, ie = idx.search(q, 20)
+    sa, ia = idx.search(q, 20, approx=True)
+    assert set(ia[0].tolist()) == set(ie[0].tolist())

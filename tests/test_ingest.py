@@ -133,3 +133,22 @@ def test_scan_embeddings_match_direct_embed(tmp_path, embedder):
     want = embedder.embed_images(imgs)
     got = index.get_raw_embeddings(paths)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multihost_partition_disjoint_and_complete(tmp_path, embedder):
+    """Hash partitioning (process_index/count) covers every path exactly once."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, 10)
+    dim = embedder.cfg.projection_dim
+    indexes = []
+    total = 0
+    for p in range(3):
+        idx = VectorIndex(dim)
+        stats = scan_directory(
+            embedder, idx, media, chunk_size=4, process_index=p, process_count=3
+        )
+        total += stats.embedded
+        indexes.append(set(idx.paths))
+    assert total == 10
+    assert not (indexes[0] & indexes[1]) and not (indexes[1] & indexes[2])
+    assert len(indexes[0] | indexes[1] | indexes[2]) == 10
