@@ -39,17 +39,17 @@ def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.App
     static_dir = static_dir or CLIENT_DIR
 
     async def search(request: web.Request) -> web.Response:
+        from image_search_tpu.server.wire import SearchParams
+
         try:
-            params = await request.json()
-            q = params["q"]
+            params = SearchParams.from_json(await request.json())
         except Exception:
             return web.json_response({"error": "invalid SearchParams"}, status=400)
-        referenced = params.get("referenced_images", []) or []
-        if not isinstance(q, str) or not isinstance(referenced, list):
-            return web.json_response({"error": "invalid SearchParams"}, status=400)
-        log.debug("Handle Search with params: q=%r referenced=%r", q, referenced)
+        log.debug("Handle Search with params: %s", params)
         try:
-            images = await asyncio.to_thread(engine.search, q, referenced)
+            images = await asyncio.to_thread(
+                engine.search, params.q, params.referenced_images
+            )
         except Exception:
             log.exception("search failed")
             return web.Response(status=500)

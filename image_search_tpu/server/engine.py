@@ -63,6 +63,7 @@ class SearchEngine:
             compute_dtype=dtype,
             preprocess_mode=args.preprocess_mode,
         )
+        self._text_cache: dict = {}
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
         self.index = VectorIndex(
             cfg.projection_dim,
@@ -138,8 +139,7 @@ class SearchEngine:
         text search.
         """
         k = k or self.args.k
-        with global_metrics.timer("text_embed"):
-            text_emb = self.embedder.embed_text(query)
+        text_emb = self._cached_text_embed(query)
         selected = [
             p for p in (self.to_abs_path(m) for m in referenced_images) if p is not None
         ]
@@ -151,19 +151,29 @@ class SearchEngine:
         global_metrics.inc("searches")
         if selected:
             global_metrics.inc("searches_with_feedback")
+        from image_search_tpu.server.wire import ImageReference
+
         out = []
         for row, score in zip(np.asarray(idx).reshape(-1), np.asarray(scores).reshape(-1)):
             abs_path = self.index.paths[int(row)]
             media = self.to_media_path(abs_path)
-            out.append(
-                {
-                    # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
-                    "id": urllib.parse.quote(media, safe=""),
-                    "image_path": media,
-                    "score": float(score),
-                }
-            )
+            # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
+            out.append(ImageReference.for_path(media, float(score)).to_json())
         return out
+
+    def _cached_text_embed(self, query: str) -> np.ndarray:
+        """Text-tower output cached per query string: feedback rounds repeat
+        the same q (the reference re-embeds it every round, search.rs:27)."""
+        hit = self._text_cache.get(query)
+        if hit is not None:
+            global_metrics.inc("text_embed_cache_hits")
+            return hit
+        with global_metrics.timer("text_embed"):
+            emb = self.embedder.embed_text(query)
+        if len(self._text_cache) >= 512:
+            self._text_cache.pop(next(iter(self._text_cache)))
+        self._text_cache[query] = emb
+        return emb
 
     def scan(self) -> ScanStats:
         """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""

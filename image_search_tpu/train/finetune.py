@@ -1,0 +1,156 @@
+"""Domain fine-tuning driver: (image, caption) pairs -> adapted checkpoint.
+
+The reference ships frozen weights only; a production search deployment
+wants its embedding space adapted to its corpus (product photos, medical
+imagery, ...). This driver closes the loop around ``train.contrastive``:
+
+    python -m image_search_tpu.train.finetune \
+        --data-dir /captions --weights models/clip.safetensors \
+        --tokenizer-dir models/tokenizer --out models/clip_ft.safetensors
+
+Data layout: every image file with a same-stem ``.txt`` sidecar caption
+(``dog.jpg`` + ``dog.txt``). Batches shard over the mesh's data axis; the
+towers stay numerically the checkpoint's (bf16 compute optional).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def find_pairs(data_dir: str) -> List[Tuple[str, str]]:
+    """(image_path, caption) pairs via .txt sidecars."""
+    from image_search_tpu.ingest.walk import iter_images
+
+    pairs = []
+    for img in iter_images(data_dir):
+        txt = os.path.splitext(img)[0] + ".txt"
+        if os.path.exists(txt):
+            with open(txt, encoding="utf-8") as f:
+                caption = f.read().strip()
+            if caption:
+                pairs.append((img, caption))
+    return pairs
+
+
+def run_finetune(
+    params,
+    cfg,
+    tokenizer,
+    pairs: List[Tuple[str, str]],
+    *,
+    mesh=None,
+    batch_size: int = 64,
+    steps: int = 100,
+    learning_rate: float = 1e-5,
+    compute_dtype=None,
+    preprocess_mode: str = "hf",
+    seed: int = 0,
+    log_every: int = 10,
+):
+    """Returns (trained params, list of losses). Pure-Python loop around the
+    jitted mesh-sharded train step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from image_search_tpu.ingest.decode import DecodePool
+    from image_search_tpu.ops.preprocess import preprocess_images
+    from image_search_tpu.train.contrastive import make_train_step
+
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+        )
+    optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    init_fn, step_fn = make_train_step(
+        cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype
+    )
+    state = init_fn(params)
+
+    rng = random.Random(seed)
+    pool = DecodePool(workers=8)
+    losses: List[float] = []
+    try:
+        for step in range(steps):
+            batch = [pairs[rng.randrange(len(pairs))] for _ in range(batch_size)]
+            kept, images = pool.decode_batch([p for p, _ in batch])
+            captions = [c for p, c in batch if p in set(kept)]
+            if len(kept) < 2:
+                continue
+            pixels = np.asarray(
+                preprocess_images(
+                    images, size=cfg.vision.image_size, mode=preprocess_mode
+                ),
+                np.float32,
+            )
+            ids = tokenizer(captions, cfg.text.context_length)
+            state, metrics = step_fn(state, ids, pixels)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            if step % log_every == 0:
+                log.info(
+                    "step %d loss %.4f acc %.3f", step, loss,
+                    float(metrics["img_to_txt_acc"]),
+                )
+    finally:
+        pool.close()
+    return state.params, losses
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    logging.basicConfig(level="INFO")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--tokenizer-dir", default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--mesh-data", type=int, default=None)
+    ap.add_argument("--mesh-model", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from image_search_tpu.models.convert import load_checkpoint, save_checkpoint
+    from image_search_tpu.parallel.mesh import make_mesh
+    from image_search_tpu.tokenizer import CLIPBPETokenizer, HashTokenizer
+
+    params, cfg = load_checkpoint(args.weights)
+    if args.tokenizer_dir:
+        tokenizer = CLIPBPETokenizer.from_dir(args.tokenizer_dir, cfg.text.context_length)
+    else:
+        log.warning("no --tokenizer-dir: hash tokenizer (NOT for real training)")
+        tokenizer = HashTokenizer(cfg.text.vocab_size, cfg.text.context_length)
+
+    pairs = find_pairs(args.data_dir)
+    log.info("found %d (image, caption) pairs", len(pairs))
+    if not pairs:
+        raise SystemExit("no training pairs (need image files with .txt sidecars)")
+
+    mesh = (
+        make_mesh(args.mesh_data, args.mesh_model)
+        if (args.mesh_data or args.mesh_model > 1 or len(jax.devices()) > 1)
+        else None
+    )
+    trained, losses = run_finetune(
+        params, cfg, tokenizer, pairs,
+        mesh=mesh, batch_size=args.batch_size, steps=args.steps,
+        learning_rate=args.lr,
+    )
+    save_checkpoint(args.out, trained, cfg)
+    log.info("wrote %s (final loss %.4f)", args.out, losses[-1] if losses else float("nan"))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,50 @@ def test_sharded_step_matches_unsharded(rng, n_data, n_model):
     flat_s = jax.tree.leaves(ss.params)
     for a, b in zip(flat_u, flat_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+def test_finetune_driver_end_to_end(tmp_path, rng):
+    """Full fine-tune loop: sidecar dataset -> decode -> preprocess -> train
+    -> checkpoint; loss must be finite and the checkpoint loadable."""
+    from PIL import Image
+
+    from image_search_tpu.models.convert import load_checkpoint, save_checkpoint
+    from image_search_tpu.tokenizer import HashTokenizer
+    from image_search_tpu.train.finetune import find_pairs, run_finetune
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg)
+    data = tmp_path / "data"
+    data.mkdir()
+    captions = ["a red photo", "a green photo", "a blue photo", "noise"]
+    for i, cap in enumerate(captions * 2):
+        arr = rng.integers(0, 256, size=(40, 40, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(data / f"img{i}.jpg")
+        (data / f"img{i}.txt").write_text(cap)
+
+    pairs = find_pairs(str(data))
+    assert len(pairs) == 8
+
+    tok = HashTokenizer(cfg.text.vocab_size, cfg.text.context_length)
+    trained, losses = run_finetune(
+        params, cfg, tok, pairs, batch_size=8, steps=5, learning_rate=1e-3,
+        log_every=100,
+    )
+    assert len(losses) == 5 and all(np.isfinite(l) for l in losses)
+
+    out = str(tmp_path / "ft.safetensors")
+    save_checkpoint(out, trained, cfg)
+    p2, cfg2 = load_checkpoint(out)
+    assert cfg2 == cfg
+
+
+def test_retrieval_metrics():
+    from image_search_tpu.utils.eval import retrieval_metrics
+
+    rng2 = np.random.default_rng(0)
+    emb = rng2.normal(size=(50, 16)).astype(np.float32)
+    perfect = retrieval_metrics(emb, emb)
+    assert perfect["recall@1_t2i"] == 1.0 and perfect["median_rank_i2t"] == 1.0
+
+    shuffled = retrieval_metrics(emb, rng2.normal(size=(50, 16)).astype(np.float32))
+    assert shuffled["recall@1_t2i"] < 0.5
