@@ -87,54 +87,73 @@ def bench_embed(batch_size: int = 128, iters: int = 20, warmup: int = 3):
     return ips
 
 
-def bench_query(n_vectors: int = 2_000_000, k: int = 1000, iters: int = 30):
-    """Secondary: text->top-k latency over a device-resident corpus.
+def bench_query(k: int = 1000):
+    """Secondary: text->top-k latency over device-resident corpora.
 
-    The corpus is generated ON-device (uploading GBs through a tunneled
-    backend is not what we're measuring); the search kernel is the same one
-    VectorIndex compiles.
+    Corpora are generated ON-device in 1M-row chunks (uploading GBs through
+    a tunneled backend is not what we're measuring, and generate-then-
+    quantize in one piece would OOM the 16 GB chip); the search kernel is
+    the same one VectorIndex compiles.
     """
     import jax
     import jax.numpy as jnp
 
-    from image_search_tpu.index.index import _search_local
+    from image_search_tpu.index.index import _search_local, _write_block
+    from image_search_tpu.parallel.sharded_search import quantize_rows_int8
 
     dim = 768
-    emb = jax.random.normal(jax.random.key(0), (n_vectors, dim), jnp.float32)
-    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
-    emb.block_until_ready()
     q = jax.device_put(np.random.default_rng(1).normal(size=(1, dim)).astype(np.float32))
-    size = jnp.asarray(n_vectors, jnp.int32)
 
-    def run():
-        s, i = _search_local(emb, size, q, k)
-        return float(s[0, 0])  # dependent fetch = true sync
+    def measure(emb, scales, n):
+        size = jnp.asarray(n, jnp.int32)
 
-    run()  # compile
-    # round-trip latency as a client would see it (includes host/tunnel hop)
-    rt = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        run()
-        rt.append(time.perf_counter() - t0)
-    rt.sort()
-    # device-side latency: burst of dependent-free dispatches, one sync
-    def burst(n=20):
-        t0 = time.perf_counter()
-        s = None
-        for _ in range(n):
-            s, _ = _search_local(emb, size, q, k)
-        float(s[0, 0])
-        return (time.perf_counter() - t0) / n
+        def burst(m=15):
+            t0 = time.perf_counter()
+            s = None
+            for _ in range(m):
+                s, _ = _search_local(emb, size, q, k, scales)
+            float(s[0, 0])  # dependent fetch = true sync on tunneled backends
+            return (time.perf_counter() - t0) / m
 
-    burst(2)
-    dev_ms = min(burst() for _ in range(3)) * 1e3
-    p50 = rt[len(rt) // 2] * 1e3
-    log(
-        f"query: top-{k} over {n_vectors} vectors device={dev_ms:.2f}ms "
-        f"round-trip p50={p50:.2f}ms p95={rt[int(len(rt) * 0.95)] * 1e3:.2f}ms"
-    )
-    return dev_ms
+        burst(2)  # compile + warm
+        return min(burst() for _ in range(3)) * 1e3
+
+    # f32 exact at 2M (6 GB)
+    n = 2_000_000
+    ch = 1_000_000
+
+    @jax.jit
+    def gen_f32(key):
+        e = jax.random.normal(key, (ch, dim), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    emb = jnp.zeros((n, dim), jnp.float32)
+    for i in range(n // ch):
+        emb = _write_block(emb, gen_f32(jax.random.key(i)), jnp.asarray(i * ch, jnp.int32))
+    emb.block_until_ready()
+    ms = measure(emb, None, n)
+    log(f"query: f32 top-{k} over {n:,} vectors device={ms:.2f}ms")
+    del emb
+
+    # int8 at 10M (7.7 GB) — the BASELINE config-#4 corpus on ONE chip
+    n = 10_000_000
+
+    @jax.jit
+    def gen_int8(key):
+        e = jax.random.normal(key, (ch, dim), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        return quantize_rows_int8(e)
+
+    buf = jnp.zeros((n, dim), jnp.int8)
+    scl = jnp.zeros((n,), jnp.float32)
+    for i in range(n // ch):
+        qi, sc = gen_int8(jax.random.key(i))
+        buf = _write_block(buf, qi, jnp.asarray(i * ch, jnp.int32))
+        scl = _write_block(scl, sc, jnp.asarray(i * ch, jnp.int32))
+    buf.block_until_ready()
+    ms = measure(buf, scl, n)
+    log(f"query: int8 top-{k} over {n:,} vectors device={ms:.2f}ms (single chip)")
+    return ms
 
 
 def main() -> None:

@@ -117,10 +117,12 @@ def _search_local(emb, size, queries, k: int, scales=None, approx: bool = False)
     return jax.lax.top_k(scores, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _feedback_search_local(emb, norms, size, text_emb, sel_idx, k: int, scales=None):
+@partial(jax.jit, static_argnames=("k", "approx"))
+def _feedback_search_local(
+    emb, norms, size, text_emb, sel_idx, k: int, scales=None, approx: bool = False
+):
     q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
-    return _search_local(emb, size, q, k, scales)
+    return _search_local(emb, size, q, k, scales, approx)
 
 
 @lru_cache(maxsize=64)
@@ -305,6 +307,7 @@ class VectorIndex:
         text_embedding: np.ndarray,
         selected_paths: Sequence[str],
         k: int = 1000,
+        approx: bool = False,
     ):
         """The reference's refinement search (search.rs:34-77), one fused step.
 
@@ -315,7 +318,7 @@ class VectorIndex:
         """
         rows = [self._row[p] for p in selected_paths if p in self._row]
         if not rows:
-            return self.search(text_embedding, k)
+            return self.search(text_embedding, k, approx)
         k = self._clamp_k(k)
         # pad selection to a pow2 bucket to bound jit variants
         m = 8
@@ -328,7 +331,7 @@ class VectorIndex:
         sel = jnp.asarray(sel)
         if self.mesh is None:
             s, i = _feedback_search_local(
-                self._emb, self._norms, size, text, sel, k, self._scales
+                self._emb, self._norms, size, text, sel, k, self._scales, approx
             )
         else:
             s, i = _sharded_feedback_fn(self.mesh, k, self.quantize == "int8")(

@@ -143,11 +143,14 @@ class SearchEngine:
         selected = [
             p for p in (self.to_abs_path(m) for m in referenced_images) if p is not None
         ]
+        approx = self.args.search_approx
         with global_metrics.timer("index_search"):
             if selected:
-                scores, idx = self.index.search_with_feedback(text_emb, selected, k)
+                scores, idx = self.index.search_with_feedback(
+                    text_emb, selected, k, approx=approx
+                )
             else:
-                scores, idx = self.index.search(text_emb, k)
+                scores, idx = self.index.search(text_emb, k, approx=approx)
         global_metrics.inc("searches")
         if selected:
             global_metrics.inc("searches_with_feedback")
