@@ -83,28 +83,37 @@ def _attention(
     QK^T -> softmax -> PV core runs as one Pallas kernel so the [S, S]
     logits never round-trip HBM (26% of forward time at ViT-L/14 batch 256).
     """
-    from image_search_tpu.ops.attention import (
-        attention_reference,
-        fused_attention_packed,
-    )
-
     B, S, D = x.shape
     H, Hd = cfg.num_heads, cfg.head_dim
     dtype = x.dtype
 
-    def proj(w, b):
-        return jnp.einsum("bsd,de->bse", x, w.astype(dtype)) + b.astype(dtype)
+    # Params store q|k|v fused ([D, 3D], one checkpoint tensor), but the
+    # projections run as three weight-sliced matmuls: splitting the fused
+    # activation instead costs three [B, S, D] HBM copies (measured -11%
+    # e2e), and projecting inside the attention kernel is a wash — its
+    # per-row 257-high matmuls waste what the saved traffic gains
+    # (docs/PERF_NOTES.md).
+    w = blk["qkv_w"].astype(dtype)
+    b = blk["qkv_b"].astype(dtype)
 
-    # NB: Python float stays weakly typed (a np.float32 scalar would promote
-    # bf16 activations to f32 and silently double the attention bandwidth)
-    q = proj(blk["q_w"], blk["q_b"]) * float(Hd**-0.5)
-    k = proj(blk["k_w"], blk["k_b"])
-    v = proj(blk["v_w"], blk["v_b"])
+    def proj(lo):
+        return (
+            jnp.einsum("bsd,de->bse", x, w[:, lo : lo + D]) + b[lo : lo + D]
+        )
+
+    # NB: Python float stays weakly typed (an np.float32 scalar would
+    # promote bf16 activations to f32, doubling attention bandwidth)
+    q = proj(0) * float(Hd**-0.5)
+    k = proj(D)
+    v = proj(2 * D)
 
     if _use_fused_attention():
-        # packed [B, S, H*Hd] — straight from the projections, no transpose
+        from image_search_tpu.ops.attention import fused_attention_packed
+
         out = fused_attention_packed(q, k, v, heads=H, causal=causal)
     else:
+        from image_search_tpu.ops.attention import attention_reference
+
         out = attention_reference(
             q.reshape(B, S, H, Hd),
             k.reshape(B, S, H, Hd),
@@ -266,12 +275,8 @@ def _init_tower_blocks(key: jax.Array, cfg: TowerConfig, dtype) -> Params:
     return {
         "ln1_scale": ones((L, D)),
         "ln1_bias": zeros((L, D)),
-        "q_w": w(ks[0], (L, D, D), s),
-        "q_b": zeros((L, D)),
-        "k_w": w(ks[1], (L, D, D), s),
-        "k_b": zeros((L, D)),
-        "v_w": w(ks[2], (L, D, D), s),
-        "v_b": zeros((L, D)),
+        "qkv_w": w(ks[0], (L, D, 3 * D), s),
+        "qkv_b": zeros((L, 3 * D)),
         "o_w": w(ks[3], (L, D, D), s),
         "o_b": zeros((L, D)),
         "ln2_scale": ones((L, D)),

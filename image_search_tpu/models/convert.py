@@ -61,9 +61,10 @@ def _stack_tower_blocks(sd: Mapping[str, Any], prefix: str, num_layers: int) -> 
     ln2_s, ln2_b = ln("layer_norm2")
     return {
         "ln1_scale": ln1_s, "ln1_bias": ln1_b,
-        "q_w": q_w, "q_b": q_b,
-        "k_w": k_w, "k_b": k_b,
-        "v_w": v_w, "v_b": v_b,
+        # q/k/v fused into one [L, D, 3D] matmul: one MXU pass and the
+        # enabler for the VMEM-resident fused attention kernel
+        "qkv_w": np.concatenate([q_w, k_w, v_w], axis=2),
+        "qkv_b": np.concatenate([q_b, k_b, v_b], axis=1),
         "o_w": o_w, "o_b": o_b,
         "ln2_scale": ln2_s, "ln2_bias": ln2_b,
         "fc_w": fc_w, "fc_b": fc_b,

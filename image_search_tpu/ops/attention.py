@@ -101,6 +101,110 @@ def fused_attention(
     return out.reshape(B, S, H, Hd)
 
 
+# ---------------------------------------------------------------------------
+# QKV projection fused INTO the kernel
+# ---------------------------------------------------------------------------
+
+
+def _qkv_attn_kernel(
+    x_ref,  # [1, S, D] block — one batch row
+    w_ref,  # [D, 3D] full qkv weight, constant across the grid (VMEM-resident)
+    b_ref,  # [1, 3D]
+    o_ref,  # [1, S, D]
+    qkv_ref,  # scratch [S, 3D]
+    logits_ref,  # scratch [H, S, S] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    heads: int,
+):
+    S = x_ref.shape[1]
+    D = x_ref.shape[2]
+    Hd = D // heads
+    group = logits_ref.shape[0]  # heads per softmax batch (VMEM-budgeted)
+    x = x_ref[0]
+    qkv_ref[:] = (
+        jax.lax.dot_general(
+            x, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        + b_ref[0]
+    )
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        causal_mask = (row >= col)[None]
+    for g in range(0, heads, group):
+        for i in range(group):
+            h = g + i
+            q = qkv_ref[:, h * Hd : (h + 1) * Hd]
+            k = qkv_ref[:, D + h * Hd : D + (h + 1) * Hd]
+            logits_ref[i] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        logits = logits_ref[:] * sm_scale
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
+        for i in range(group):
+            h = g + i
+            v = qkv_ref[:, 2 * D + h * Hd : 2 * D + (h + 1) * Hd]
+            o_ref[0, :, h * Hd : (h + 1) * Hd] = jax.lax.dot_general(
+                p[i], v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "causal", "sm_scale", "interpret")
+)
+def fused_qkv_attention(
+    x: jax.Array,  # [B, S, D] (already layer-normed)
+    qkv_w: jax.Array,  # [D, 3D], [q|k|v] column blocks
+    qkv_b: jax.Array,  # [3D]
+    heads: int,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """QKV projection + attention in one kernel -> [B, S, D].
+
+    q, k, v never exist in HBM: the projection result lives in a [S, 3D]
+    VMEM scratch per batch row and the qkv weight block is resident across
+    the whole grid (constant index_map). Saves ~6 HBM traversals of the
+    [B, S, D] activation per layer vs projecting in XLA and re-reading in
+    the attention kernel — the attention path is bandwidth-bound, not
+    FLOP-bound (docs/PERF_NOTES.md).
+    """
+    B, S, D = x.shape
+    # logits scratch budget ~3 MB after Mosaic padding (sublanes 8, lanes
+    # 128): pick the largest head group that fits
+    s_sub = -(-S // 8) * 8
+    s_lane = -(-S // 128) * 128
+    group = heads
+    while group > 1 and group * s_sub * s_lane * 4 > 3 * 1024 * 1024:
+        group //= 2
+    while heads % group:
+        group -= 1
+    xspec = pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((D, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 3 * D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _qkv_attn_kernel, causal=causal, sm_scale=sm_scale, heads=heads
+        ),
+        grid=(B,),
+        in_specs=[xspec, wspec, bspec],
+        out_specs=xspec,
+        scratch_shapes=[
+            pltpu.VMEM((S, 3 * D), x.dtype),
+            pltpu.VMEM((group, S, S), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        interpret=interpret,
+    )(x, qkv_w, qkv_b.reshape(1, -1))
+
+
 def attention_reference(q, k, v, causal=False, sm_scale=1.0):
     """Plain-XLA oracle with identical semantics (tests + non-TPU fallback)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale

@@ -64,11 +64,12 @@ def _tower_block_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
     col = s(None, None, MODEL_AXIS)  # [L, D, M] split output features
     row = s(None, MODEL_AXIS, None)  # [L, M, D] split input features
     rep2 = s(None, None)
+    # qkv_w's fused last dim shards column-wise; GSPMD re-partitions at the
+    # q/k/v split so correctness is layout-independent (verified equal to
+    # the unsharded step in tests/test_train.py).
     return {
         "ln1_scale": rep2, "ln1_bias": rep2,
-        "q_w": col, "q_b": s(None, MODEL_AXIS),
-        "k_w": col, "k_b": s(None, MODEL_AXIS),
-        "v_w": col, "v_b": s(None, MODEL_AXIS),
+        "qkv_w": col, "qkv_b": s(None, MODEL_AXIS),
         "o_w": row, "o_b": rep2,
         "ln2_scale": rep2, "ln2_bias": rep2,
         "fc_w": col, "fc_b": s(None, MODEL_AXIS),

@@ -52,3 +52,30 @@ def test_model_uses_reference_path_on_cpu():
 
     assert jax.default_backend() == "cpu"
     assert not _use_fused_attention()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_qkv_attention_matches_reference(causal):
+    """QKV-fused kernel == project-then-attend oracle (interpret mode)."""
+    from image_search_tpu.ops.attention import fused_qkv_attention
+
+    B, S, H, Hd = 2, 33, 4, 16
+    D = H * Hd
+    ks = jax.random.split(jax.random.key(2), 3)
+    x = jax.random.normal(ks[0], (B, S, D), jnp.float32) * 0.3
+    qkv_w = jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.1
+    qkv_b = jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.1
+
+    qkv = jnp.einsum("bsd,de->bse", x, qkv_w) + qkv_b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = attention_reference(
+        q.reshape(B, S, H, Hd) * Hd**-0.5,
+        k.reshape(B, S, H, Hd),
+        v.reshape(B, S, H, Hd),
+        causal=causal,
+    ).reshape(B, S, D)
+
+    got = fused_qkv_attention(
+        x, qkv_w, qkv_b, heads=H, causal=causal, sm_scale=Hd**-0.5, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
