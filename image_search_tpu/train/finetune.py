@@ -53,6 +53,7 @@ def run_finetune(
     learning_rate: float = 1e-5,
     compute_dtype=None,
     preprocess_mode: str = "hf",
+    remat: bool = False,
     seed: int = 0,
     log_every: int = 10,
 ):
@@ -72,7 +73,7 @@ def run_finetune(
         )
     optimizer = optax.adamw(learning_rate, weight_decay=0.01)
     init_fn, step_fn = make_train_step(
-        cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype
+        cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype, remat=remat
     )
     state = init_fn(params)
 
@@ -118,6 +119,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--lr", type=float, default=1e-5)
     ap.add_argument("--mesh-data", type=int, default=None)
     ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--remat", action="store_true",
+                    help="recompute activations in backward (fits ViT-L/14 on 16GB)")
     args = ap.parse_args(argv)
 
     import jax
@@ -146,7 +149,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     trained, losses = run_finetune(
         params, cfg, tokenizer, pairs,
         mesh=mesh, batch_size=args.batch_size, steps=args.steps,
-        learning_rate=args.lr,
+        learning_rate=args.lr, remat=args.remat,
     )
     save_checkpoint(args.out, trained, cfg)
     log.info("wrote %s (final loss %.4f)", args.out, losses[-1] if losses else float("nan"))

@@ -105,3 +105,21 @@ def test_retrieval_metrics():
 
     shuffled = retrieval_metrics(emb, rng2.normal(size=(50, 16)).astype(np.float32))
     assert shuffled["recall@1_t2i"] < 0.5
+
+
+def test_remat_step_matches_plain(rng):
+    """jax.checkpoint must not change the math, only the memory profile."""
+    cfg = tiny_test_config()
+    ids, pix = make_batch(rng, cfg, 8)
+    opt = optax.sgd(1e-2)
+
+    init_a, step_a = make_train_step(cfg, opt)
+    sa, ma = step_a(init_a(init_params(jax.random.key(3), cfg)),
+                    jnp.asarray(ids), jnp.asarray(pix))
+    init_b, step_b = make_train_step(cfg, opt, remat=True)
+    sb, mb = step_b(init_b(init_params(jax.random.key(3), cfg)),
+                    jnp.asarray(ids), jnp.asarray(pix))
+
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
