@@ -108,9 +108,9 @@ def _attention(
     v = proj(2 * D)
 
     if _use_fused_attention():
-        from image_search_tpu.ops.attention import fused_attention_packed
+        from image_search_tpu.ops.attention import attention_core
 
-        out = fused_attention_packed(q, k, v, heads=H, causal=causal)
+        out = attention_core(q, k, v, H, causal, 1.0, False)
     else:
         from image_search_tpu.ops.attention import attention_reference
 

@@ -102,6 +102,49 @@ def fused_attention(
 
 
 # ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-math backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def attention_core(q, k, v, heads: int, causal: bool, sm_scale: float, interpret: bool):
+    """Packed attention with a VJP, so the train step can differentiate
+    through the fused kernel. Backward recomputes attention with the plain
+    XLA oracle and autodiffs it — gradient memory/compute identical to the
+    non-fused path; the kernel speed applies to the (far more frequent)
+    inference forward."""
+    return fused_attention_packed(
+        q, k, v, heads=heads, causal=causal, sm_scale=sm_scale, interpret=interpret
+    )
+
+
+def _core_fwd(q, k, v, heads, causal, sm_scale, interpret):
+    out = attention_core(q, k, v, heads, causal, sm_scale, interpret)
+    return out, (q, k, v)
+
+
+def _core_bwd(heads, causal, sm_scale, interpret, residuals, g):
+    q, k, v = residuals
+    B, S, DH = q.shape
+    Hd = DH // heads
+
+    def ref(q_, k_, v_):
+        return attention_reference(
+            q_.reshape(B, S, heads, Hd),
+            k_.reshape(B, S, heads, Hd),
+            v_.reshape(B, S, heads, Hd),
+            causal=causal,
+            sm_scale=sm_scale,
+        ).reshape(B, S, DH)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
 # QKV projection fused INTO the kernel
 # ---------------------------------------------------------------------------
 

@@ -79,3 +79,28 @@ def test_fused_qkv_attention_matches_reference(causal):
         x, qkv_w, qkv_b, heads=H, causal=causal, sm_scale=Hd**-0.5, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_attention_core_gradients_match_reference():
+    """custom_vjp (Pallas fwd in interpret mode, XLA bwd) == pure autodiff."""
+    from image_search_tpu.ops.attention import attention_core
+
+    B, S, H, Hd = 2, 17, 4, 8
+    D = H * Hd
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, D), jnp.float32) * 0.3 for kk in ks)
+
+    def loss_core(q, k, v):
+        return jnp.sum(attention_core(q, k, v, H, False, 0.35, True) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention_reference(
+            q.reshape(B, S, H, Hd), k.reshape(B, S, H, Hd), v.reshape(B, S, H, Hd),
+            causal=False, sm_scale=0.35,
+        ).reshape(B, S, D)
+        return jnp.sum(out**2)
+
+    ga = jax.grad(loss_core, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
