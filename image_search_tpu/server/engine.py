@@ -187,6 +187,9 @@ class SearchEngine:
                 self.media_dir,
                 chunk_size=self.args.chunk_size,
                 decode_workers=self.args.decode_workers,
+                # multi-host pods: each process ingests its hash partition
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
             )
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)
