@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import logging
 from functools import lru_cache, partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from typing import Dict, Iterator, List, Sequence, Set, Tuple
+from typing import Iterator, List, Sequence, Set, Tuple
 
 import numpy as np
 

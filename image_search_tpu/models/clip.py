@@ -27,13 +27,13 @@ Numerical parity target: HuggingFace ``transformers.CLIPModel`` (cosine
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from image_search_tpu.config import CLIPConfig, TowerConfig, VisionConfig
+from image_search_tpu.config import CLIPConfig, TowerConfig
 
 Params = Dict[str, Any]
 

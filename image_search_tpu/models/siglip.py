@@ -21,7 +21,7 @@ same ``save_checkpoint``/``load_checkpoint`` (models/convert.py). Parity vs
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ text-tower mask.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

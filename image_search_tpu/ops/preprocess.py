@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache, partial
-from typing import Iterable, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

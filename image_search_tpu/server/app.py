@@ -24,7 +24,7 @@ from typing import Optional
 
 from aiohttp import web
 
-from image_search_tpu.server.args import ServerArgs, parse_args
+from image_search_tpu.server.args import parse_args
 from image_search_tpu.server.engine import SearchEngine
 
 log = logging.getLogger(__name__)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import os
 import urllib.parse
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ import numpy as np
 from image_search_tpu.config import get_config
 from image_search_tpu.index import EmbeddingStore, VectorIndex
 from image_search_tpu.ingest.pipeline import ScanStats, scan_directory
-from image_search_tpu.models import clip as model_lib
 from image_search_tpu.models.convert import load_checkpoint
 from image_search_tpu.models.embedder import ClipEmbedder
 from image_search_tpu.parallel.mesh import make_mesh, maybe_init_distributed

@@ -7,7 +7,7 @@ precise searches with just a few rounds" (its README).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 
