@@ -75,6 +75,15 @@ class ClipEmbedder:
                 params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
 
+        if tokenizer is not None and getattr(tokenizer, "eos_id", None) is not None:
+            if tokenizer.eos_id != cfg.text.eos_token_id:
+                # encode_text pools at the first cfg EOS; a mismatched
+                # tokenizer would silently pool at position 0 for every text
+                raise ValueError(
+                    f"tokenizer eos_id {tokenizer.eos_id} != model "
+                    f"eos_token_id {cfg.text.eos_token_id}"
+                )
+
         from image_search_tpu.models import get_model_module
 
         self._model = get_model_module(cfg)  # clip | siglip behind one API

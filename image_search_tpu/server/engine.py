@@ -105,7 +105,11 @@ class SearchEngine:
         if d:
             log.warning("tokenizer dir %s missing vocab.json", d)
         log.warning("no tokenizer files — using deterministic hash tokenizer")
-        return HashTokenizer(self.cfg.text.vocab_size, self.cfg.text.context_length)
+        return HashTokenizer(
+            self.cfg.text.vocab_size,
+            self.cfg.text.context_length,
+            eos_id=self.cfg.text.eos_token_id,
+        )
 
     # -- path mapping (media/ URL <-> absolute path) ----------------------------
 

@@ -255,20 +255,31 @@ class HashTokenizer:
     with real CLIP weights — supply vocab.json/merges.txt for those.
     """
 
-    def __init__(self, vocab_size: int = 49408, context_length: int = 77):
+    def __init__(
+        self,
+        vocab_size: int = 49408,
+        context_length: int = 77,
+        eos_id: Optional[int] = None,
+    ):
         self.vocab_size = vocab_size
         self.context_length = context_length
-        self.bos_id = vocab_size - 2
-        self.eos_id = vocab_size - 1
+        self.eos_id = vocab_size - 1 if eos_id is None else eos_id
+        self.bos_id = (self.eos_id - 1) % vocab_size
 
     def __call__(self, texts, context_length: Optional[int] = None) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
         L = context_length or self.context_length
         out = np.full((len(texts), L), self.eos_id, np.int32)
+        reserved = {self.bos_id, self.eos_id}
         for i, text in enumerate(texts):
             words = whitespace_clean(text).lower().split()[: L - 2]
-            ids = [2 + (hash(w) % (self.vocab_size - 4)) for w in words]
+            ids = []
+            for w in words:
+                t = 2 + (hash(w) % (self.vocab_size - 4))
+                if t in reserved:
+                    t = (t + 1) % (self.vocab_size - 4) + 2
+                ids.append(t)
             row = [self.bos_id] + ids + [self.eos_id]
             out[i, : len(row)] = row
         return out

@@ -57,3 +57,12 @@ def test_mesh_sharded_embedder_matches_unsharded(setup, n_data, n_model):
     got_txt = sharded.embed_texts(["hello world", "two dogs"])
     np.testing.assert_allclose(got_img, want_img, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(got_txt, want_txt, rtol=2e-4, atol=2e-5)
+
+
+def test_eos_mismatch_rejected(setup):
+    """A tokenizer whose EOS differs from the model config must be rejected
+    (encode_text would silently pool at position 0 otherwise)."""
+    cfg, params, _, _ = setup
+    bad = HashTokenizer(cfg.text.vocab_size, cfg.text.context_length, eos_id=3)
+    with pytest.raises(ValueError, match="eos"):
+        ClipEmbedder(params, cfg, tokenizer=bad)
