@@ -40,6 +40,12 @@ def _bucket_batch(n: int, minimum: int = 8) -> int:
     return b
 
 
+# Measured throughput knee on v5e (docs/PERF_NOTES.md): ViT-L/14 runs
+# 858 img/s at batch 128 but only ~580 at 512 — larger batches blow the
+# pipelining sweet spot. Oversized inputs are split into sub-dispatches.
+MAX_DEVICE_BATCH = 128
+
+
 class ClipEmbedder:
     """Jit-compiled text/image embedding with batch bucketing and DP sharding."""
 
@@ -127,7 +133,20 @@ class ClipEmbedder:
 
         The ingest pipeline uses this to overlap host decode of chunk N+1
         with device compute of chunk N (JAX's async dispatch is the
-        double-buffer)."""
+        double-buffer). Inputs larger than the per-dispatch sweet spot are
+        split into sub-batches; the concatenation is also async."""
+        max_b = max(MAX_DEVICE_BATCH, self._n_data)
+        if len(images) > max_b:
+            parts = [
+                self._embed_one_batch(images[lo : lo + max_b])
+                for lo in range(0, len(images), max_b)
+            ]
+            # each part is bucket-padded: keep only its real rows
+            sizes = [min(max_b, len(images) - lo) for lo in range(0, len(images), max_b)]
+            return jnp.concatenate([p[:s] for p, s in zip(parts, sizes)], axis=0)
+        return self._embed_one_batch(images)
+
+    def _embed_one_batch(self, images: Sequence[np.ndarray]) -> jax.Array:
         u8, A_h, A_w = pack_batch(images, size=self.cfg.vision.image_size, mode=self.preprocess_mode)
         n = len(images)
         B = _bucket_batch(max(n, self._n_data))

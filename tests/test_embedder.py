@@ -66,3 +66,25 @@ def test_eos_mismatch_rejected(setup):
     bad = HashTokenizer(cfg.text.vocab_size, cfg.text.context_length, eos_id=3)
     with pytest.raises(ValueError, match="eos"):
         ClipEmbedder(params, cfg, tokenizer=bad)
+
+
+def test_large_batch_split_matches_small(setup, rng):
+    """Batches above MAX_DEVICE_BATCH split into sub-dispatches with
+    identical results."""
+    from image_search_tpu.models import embedder as emb_mod
+
+    cfg, params, tok, _ = setup
+    emb = ClipEmbedder(params, cfg, tokenizer=tok)
+    images = [
+        rng.integers(0, 256, size=(30, 30, 3), dtype=np.uint8) for _ in range(11)
+    ]
+    want = emb.embed_images(images)
+    old = emb_mod.MAX_DEVICE_BATCH
+    try:
+        emb_mod.MAX_DEVICE_BATCH = 4  # force splitting
+        got = emb.embed_images(images)
+    finally:
+        emb_mod.MAX_DEVICE_BATCH = old
+    assert got.shape == (11, cfg.projection_dim)
+    # different batch shapes -> different XLA reduction order (f32 assoc)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
