@@ -56,6 +56,8 @@ def run_finetune(
     remat: bool = False,
     seed: int = 0,
     log_every: int = 10,
+    checkpoint_dir: str | None = None,
+    save_every: int = 100,
 ):
     """Returns (trained params, list of losses). Pure-Python loop around the
     jitted mesh-sharded train step."""
@@ -76,12 +78,18 @@ def run_finetune(
         cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype, remat=remat
     )
     state = init_fn(params)
+    if checkpoint_dir:
+        from image_search_tpu.train.checkpoint import load_train_state
+
+        restored = load_train_state(checkpoint_dir, state)
+        if restored is not None:
+            state = restored
 
     rng = random.Random(seed)
     pool = DecodePool(workers=8)
     losses: List[float] = []
     try:
-        for step in range(steps):
+        for step in range(int(state.step), steps):
             batch = [pairs[rng.randrange(len(pairs))] for _ in range(batch_size)]
             kept, images = pool.decode_batch([p for p, _ in batch])
             captions = [c for p, c in batch if p in set(kept)]
@@ -102,8 +110,16 @@ def run_finetune(
                     "step %d loss %.4f acc %.3f", step, loss,
                     float(metrics["img_to_txt_acc"]),
                 )
+            if checkpoint_dir and (step + 1) % save_every == 0:
+                from image_search_tpu.train.checkpoint import save_train_state
+
+                save_train_state(checkpoint_dir, state)
     finally:
         pool.close()
+    if checkpoint_dir:
+        from image_search_tpu.train.checkpoint import save_train_state
+
+        save_train_state(checkpoint_dir, state)
     return state.params, losses
 
 
@@ -121,6 +137,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--mesh-model", type=int, default=1)
     ap.add_argument("--remat", action="store_true",
                     help="recompute activations in backward (fits ViT-L/14 on 16GB)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="orbax train-state dir: resume + periodic saves")
+    ap.add_argument("--save-every", type=int, default=100)
     args = ap.parse_args(argv)
 
     import jax
@@ -150,6 +169,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         params, cfg, tokenizer, pairs,
         mesh=mesh, batch_size=args.batch_size, steps=args.steps,
         learning_rate=args.lr, remat=args.remat,
+        checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
     )
     save_checkpoint(args.out, trained, cfg)
     log.info("wrote %s (final loss %.4f)", args.out, losses[-1] if losses else float("nan"))

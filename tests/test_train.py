@@ -123,3 +123,31 @@ def test_remat_step_matches_plain(rng):
     assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path, rng):
+    """orbax save/restore resumes training exactly (params+moments+step)."""
+    from image_search_tpu.train.checkpoint import load_train_state, save_train_state
+
+    cfg = tiny_test_config()
+    ids, pix = make_batch(rng, cfg, 8)
+    opt = optax.adamw(1e-3)
+    init_fn, step_fn = make_train_step(cfg, opt)
+    state = init_fn(init_params(jax.random.key(0), cfg))
+    state, _ = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, state)
+    template = init_fn(init_params(jax.random.key(0), cfg))
+    restored = load_train_state(d, template)
+    assert restored is not None
+    assert int(restored.step) == 1
+
+    # continuing from restored must equal continuing from the original
+    s1, m1 = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+    s2, m2 = step_fn(restored, jnp.asarray(ids), jnp.asarray(pix))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-7
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert load_train_state(str(tmp_path / "missing"), template) is None
