@@ -37,6 +37,7 @@ top-k + allgather merge over ICI).
 from __future__ import annotations
 
 import logging
+import threading
 from functools import lru_cache, partial
 from typing import List, Optional, Sequence
 
@@ -169,6 +170,12 @@ class VectorIndex:
         self._paths: List[str] = []
         self._row: dict[str, int] = {}
         self._size = 0
+        # appends DONATE the device buffers (dynamic_update_slice); a search
+        # dispatched concurrently against the old reference would hit
+        # "Array has been deleted". The server searches from a thread pool
+        # while /scan appends, so mutation and queries are serialized here.
+        # Queries are ms-scale, appends block-scale: contention is tiny.
+        self._lock = threading.RLock()
         cap = self._cap_multiple
         self._emb = self._device_zeros((cap, dim), self._row_dtype)
         self._norms = self._device_zeros((cap,))
@@ -230,6 +237,10 @@ class VectorIndex:
         return normalized, None
 
     def _add_in_memory(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
+        with self._lock:
+            return self._add_in_memory_locked(paths, embeddings)
+
+    def _add_in_memory_locked(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
         embeddings = np.asarray(embeddings, np.float32)
         keep = [i for i, p in enumerate(paths) if p not in self._row]
         if not keep:
@@ -289,18 +300,19 @@ class VectorIndex:
         ``lax.approx_max_k`` (recall_target 0.95) — faster at 10M-scale,
         and still better-than-MTREE fidelity."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        if self._size == 0:
-            B = int(q.shape[0])
-            return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
-        k = self._clamp_k(k)
-        size = jnp.asarray(self._size, jnp.int32)
-        if self.mesh is None:
-            s, i = _search_local(self._emb, size, q, k, self._scales, approx)
-        else:
-            s, i = _sharded_search_fn(self.mesh, k, self.quantize == "int8")(
-                self._emb, size, q, self._scales
-            )
-        return np.asarray(s), np.asarray(i)
+        with self._lock:
+            if self._size == 0:
+                B = int(q.shape[0])
+                return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
+            k = self._clamp_k(k)
+            size = jnp.asarray(self._size, jnp.int32)
+            if self.mesh is None:
+                s, i = _search_local(self._emb, size, q, k, self._scales, approx)
+            else:
+                s, i = _sharded_search_fn(self.mesh, k, self.quantize == "int8")(
+                    self._emb, size, q, self._scales
+                )
+            return np.asarray(s), np.asarray(i)
 
     def search_with_feedback(
         self,
@@ -319,6 +331,7 @@ class VectorIndex:
         rows = [self._row[p] for p in selected_paths if p in self._row]
         if not rows:
             return self.search(text_embedding, k, approx)
+        self._lock.acquire()
         k = self._clamp_k(k)
         # pad selection to a pow2 bucket to bound jit variants
         m = 8
@@ -329,15 +342,18 @@ class VectorIndex:
         text = jnp.asarray(np.asarray(text_embedding, np.float32).reshape(self.dim))
         size = jnp.asarray(self._size, jnp.int32)
         sel = jnp.asarray(sel)
-        if self.mesh is None:
-            s, i = _feedback_search_local(
-                self._emb, self._norms, size, text, sel, k, self._scales, approx
-            )
-        else:
-            s, i = _sharded_feedback_fn(self.mesh, k, self.quantize == "int8")(
-                self._emb, self._norms, size, text, sel, self._scales
-            )
-        return np.asarray(s), np.asarray(i)
+        try:
+            if self.mesh is None:
+                s, i = _feedback_search_local(
+                    self._emb, self._norms, size, text, sel, k, self._scales, approx
+                )
+            else:
+                s, i = _sharded_feedback_fn(self.mesh, k, self.quantize == "int8")(
+                    self._emb, self._norms, size, text, sel, self._scales
+                )
+            return np.asarray(s), np.asarray(i)
+        finally:
+            self._lock.release()
 
     # -- lookups ---------------------------------------------------------------
 
@@ -349,9 +365,10 @@ class VectorIndex:
 
     def get_raw_embeddings(self, paths: Sequence[str]) -> np.ndarray:
         """Stored raw vectors for given paths (the search.rs:43-58 SELECT)."""
-        rows = [self._row[p] for p in paths if p in self._row]
-        if not rows:
-            return np.zeros((0, self.dim), np.float32)
-        idx = jnp.asarray(np.asarray(rows))
-        raw = _dequant_rows(self._emb, self._scales, idx) * self._norms[idx][:, None]
-        return np.asarray(raw)
+        with self._lock:
+            rows = [self._row[p] for p in paths if p in self._row]
+            if not rows:
+                return np.zeros((0, self.dim), np.float32)
+            idx = jnp.asarray(np.asarray(rows))
+            raw = _dequant_rows(self._emb, self._scales, idx) * self._norms[idx][:, None]
+            return np.asarray(raw)

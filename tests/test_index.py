@@ -231,3 +231,38 @@ def test_approx_search_on_cpu_falls_back_exact(rng):
     se, ie = idx.search(q, 20)
     sa, ia = idx.search(q, 20, approx=True)
     assert set(ia[0].tolist()) == set(ie[0].tolist())
+
+
+def test_concurrent_search_during_add(rng):
+    """Searches racing appends must never hit donated (deleted) buffers."""
+    import threading
+
+    idx = VectorIndex(DIM)
+    paths, emb = make_data(rng, 200)
+    idx.add(paths[:50], emb[:50])
+    q = rng.normal(size=DIM).astype(np.float32)
+    errors = []
+
+    def searcher():
+        try:
+            for _ in range(60):
+                s, i = idx.search(q, 10)
+                assert s.shape[0] == 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def adder():
+        try:
+            for lo in range(50, 200, 10):
+                idx.add([p + ".n" for p in paths[lo : lo + 10]], emb[lo : lo + 10])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)] + [
+        threading.Thread(target=adder)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
