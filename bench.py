@@ -27,7 +27,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_embed(batch_size: int = 128, iters: int = 20, warmup: int = 3):
+def bench_embed(batch_size: int = 160, iters: int = 20, warmup: int = 3):
     import jax
     import jax.numpy as jnp
 

@@ -33,17 +33,20 @@ from image_search_tpu.parallel.mesh import DATA_AXIS
 log = logging.getLogger(__name__)
 
 
+# Measured throughput sweet spot on v5e (docs/PERF_NOTES.md): ViT-L/14 peaks
+# at batch 160 (913 img/s) vs 853 @128 and ~580 @512 — batch 160 keeps
+# 160*257 = 41120 rows, a near-multiple of the MXU pipeline depth, without
+# blowing VMEM double-buffering. Oversized inputs split into sub-dispatches.
+MAX_DEVICE_BATCH = 160
+
+
 def _bucket_batch(n: int, minimum: int = 8) -> int:
     b = minimum
-    while b < n:
+    while b < n and b < 128:
         b *= 2
-    return b
-
-
-# Measured throughput knee on v5e (docs/PERF_NOTES.md): ViT-L/14 runs
-# 858 img/s at batch 128 but only ~580 at 512 — larger batches blow the
-# pipelining sweet spot. Oversized inputs are split into sub-dispatches.
-MAX_DEVICE_BATCH = 128
+    if n <= b:
+        return b
+    return MAX_DEVICE_BATCH  # 129..160 (larger inputs were split upstream)
 
 
 class ClipEmbedder:
