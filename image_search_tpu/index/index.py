@@ -127,22 +127,26 @@ def _feedback_search_local(
 
 
 @lru_cache(maxsize=64)
-def _sharded_search_fn(mesh: Mesh, k: int, quantized: bool):
+def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
     def fn(emb, size, queries, scales=None):
         q = _l2(queries.astype(jnp.float32))
-        return sharded_topk(emb, _valid_mask(emb.shape[0], size), q, k, mesh, scales)
+        return sharded_topk(
+            emb, _valid_mask(emb.shape[0], size), q, k, mesh, scales, approx
+        )
 
     return fn
 
 
 @lru_cache(maxsize=64)
-def _sharded_feedback_fn(mesh: Mesh, k: int, quantized: bool):
+def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
     def fn(emb, norms, size, text_emb, sel_idx, scales=None):
         q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
         qn = _l2(q)
-        return sharded_topk(emb, _valid_mask(emb.shape[0], size), qn, k, mesh, scales)
+        return sharded_topk(
+            emb, _valid_mask(emb.shape[0], size), qn, k, mesh, scales, approx
+        )
 
     return fn
 
@@ -249,7 +253,12 @@ class VectorIndex:
             paths = [paths[i] for i in keep]
             embeddings = embeddings[keep]
         n = len(paths)
-        self._ensure_capacity(self._size + n)
+        # appends write FULL _UPDATE_BLOCK slices at self._size + off, so
+        # capacity must cover the last block's whole extent —
+        # dynamic_update_slice CLAMPS an out-of-bounds start instead of
+        # erroring, which would silently overwrite earlier rows
+        blocks = (n + _UPDATE_BLOCK - 1) // _UPDATE_BLOCK
+        self._ensure_capacity(self._size + blocks * _UPDATE_BLOCK)
 
         norms = np.linalg.norm(embeddings, axis=1)
         normalized = embeddings / np.maximum(norms, 1e-12)[:, None]

@@ -65,6 +65,10 @@ class DecodePool:
 
     def __init__(self, workers: int = 16, draft_target: int = _DRAFT_TARGET):
         self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="decode")
+        # batch orchestration runs on its OWN thread: submitting it to the
+        # worker pool would deadlock at workers=1 (the orchestrator occupies
+        # the only worker while its map() tasks queue behind it forever)
+        self._batcher = ThreadPoolExecutor(max_workers=2, thread_name_prefix="decode-batch")
         self._draft = draft_target
 
     def decode_batch(self, paths: Sequence[str]) -> Tuple[List[str], List[np.ndarray]]:
@@ -78,7 +82,8 @@ class DecodePool:
 
     def submit_batch(self, paths: Sequence[str]):
         """Async variant: returns a future of decode_batch (for pipelining)."""
-        return self._pool.submit(self.decode_batch, paths)
+        return self._batcher.submit(self.decode_batch, paths)
 
     def close(self) -> None:
+        self._batcher.shutdown(wait=False, cancel_futures=True)
         self._pool.shutdown(wait=False, cancel_futures=True)

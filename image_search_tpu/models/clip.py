@@ -304,7 +304,7 @@ def _init_tower_blocks(key: jax.Array, cfg: TowerConfig, dtype) -> Params:
 
 def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     """Randomly initialized parameter pytree with the checkpoint layout."""
-    kt, kv, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 8)
+    kt, kv, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 9)
     tc, vc = cfg.text, cfg.vision
     patch_dim = vc.patch_size * vc.patch_size * 3
 
@@ -328,7 +328,9 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
         "blocks": _init_tower_blocks(kv, vc, dtype),
         "post_ln_scale": jnp.ones((vc.hidden_size,), dtype),
         "post_ln_bias": jnp.zeros((vc.hidden_size,), dtype),
-        "projection": w(k3, (vc.hidden_size, cfg.projection_dim), vc.hidden_size**-0.5),
+        # k7, NOT k3: reusing the text projection's key correlated the two
+        # towers' output spaces in from-scratch training
+        "projection": w(k7, (vc.hidden_size, cfg.projection_dim), vc.hidden_size**-0.5),
     }
     return {
         "text": text,

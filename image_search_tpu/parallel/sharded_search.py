@@ -57,6 +57,7 @@ def sharded_topk(
     k: int,
     mesh: Mesh,
     scales: Optional[jax.Array] = None,  # [N] f32 for int8 rows, P(data)
+    approx: bool = False,  # per-shard approx_max_k (recall 0.95) instead of top_k
 ):
     """Exact cosine top-k over a row-sharded corpus.
 
@@ -87,7 +88,10 @@ def sharded_topk(
         scales_l = maybe_scales[0] if maybe_scales else None
         scores = shard_scores(emb_l, q, scales_l)
         scores = jnp.where(valid_l[None, :], scores, NEG_INF)
-        s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
+        if approx and local_k * 4 < local_n:
+            s_k, i_k = jax.lax.approx_max_k(scores, local_k, recall_target=0.95)
+        else:
+            s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
         shard_id = jax.lax.axis_index(DATA_AXIS)
         gi_k = i_k + shard_id * local_n  # global row ids
 

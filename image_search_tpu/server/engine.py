@@ -36,7 +36,10 @@ MEDIA_PREFIX = "media/"
 class SearchEngine:
     def __init__(self, args: ServerArgs):
         self.args = args
-        self.media_dir = args.expanded_media_dir()
+        # normalize ONCE: the walker builds index paths from media_dir and
+        # to_abs_path normpaths reconstructed ones — a relative/'./'-style
+        # media dir would otherwise make feedback selections never match
+        self.media_dir = os.path.normpath(os.path.abspath(args.expanded_media_dir()))
 
         maybe_init_distributed()
         n_dev = len(jax.devices())

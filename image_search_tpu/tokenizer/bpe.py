@@ -270,13 +270,17 @@ class HashTokenizer:
         if isinstance(texts, str):
             texts = [texts]
         L = context_length or self.context_length
+        import zlib
+
         out = np.full((len(texts), L), self.eos_id, np.int32)
         reserved = {self.bos_id, self.eos_id}
         for i, text in enumerate(texts):
             words = whitespace_clean(text).lower().split()[: L - 2]
             ids = []
             for w in words:
-                t = 2 + (hash(w) % (self.vocab_size - 4))
+                # crc32, NOT hash(): the builtin is salted per process, which
+                # would tokenize the same text differently across restarts
+                t = 2 + (zlib.crc32(w.encode("utf-8")) % (self.vocab_size - 4))
                 if t in reserved:
                     t = (t + 1) % (self.vocab_size - 4) + 2
                 ids.append(t)

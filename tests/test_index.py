@@ -266,3 +266,40 @@ def test_concurrent_search_during_add(rng):
     for t in threads:
         t.join()
     assert not errors, errors
+
+
+def test_append_across_block_boundary_near_capacity(rng):
+    """Regression (code review): a fixed 4096-row update block written near
+    capacity must grow the buffer first — dynamic_update_slice CLAMPS
+    out-of-bounds starts, which silently corrupted rows."""
+    dim = 8
+    idx = VectorIndex(dim, min_capacity=8192)
+    e1 = rng.normal(size=(5000, dim)).astype(np.float32)
+    idx.add([f"/p{i}" for i in range(5000)], e1)
+    e2 = rng.normal(size=(100, dim)).astype(np.float32)
+    idx.add([f"/q{i}" for i in range(100)], e2)
+    assert len(idx) == 5100
+
+    # every stored row must round-trip exactly
+    got_old = idx.get_raw_embeddings(["/p4500"])
+    np.testing.assert_allclose(got_old[0], e1[4500], rtol=1e-5, atol=1e-5)
+    got_new = idx.get_raw_embeddings(["/q0"])
+    np.testing.assert_allclose(got_new[0], e2[0], rtol=1e-5, atol=1e-5)
+    # and a search for the new vector must find it
+    s, i = idx.search(e2[0], 1)
+    assert idx.paths_for(i[0]) == ["/q0"]
+
+
+def test_sharded_approx_path_executes(rng, mesh8):
+    """Regression (code review): approx=True must reach the sharded kernel
+    (it was silently ignored on the mesh path). On CPU approx_max_k is
+    exact, so results match the exact sharded search."""
+    paths, emb = make_data(rng, 800)
+    sharded = VectorIndex(DIM, mesh=mesh8)
+    sharded.add(paths, emb)
+    q = rng.normal(size=DIM).astype(np.float32)
+    se, ie = sharded.search(q, 10)
+    sa, ia = sharded.search(q, 10, approx=True)
+    assert set(ia[0].tolist()) == set(ie[0].tolist())
+    s2, i2 = sharded.search_with_feedback(q, [paths[5]], 10, approx=True)
+    assert s2.shape == (1, 10)

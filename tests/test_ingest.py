@@ -152,3 +152,15 @@ def test_multihost_partition_disjoint_and_complete(tmp_path, embedder):
     assert total == 10
     assert not (indexes[0] & indexes[1]) and not (indexes[1] & indexes[2])
     assert len(indexes[0] | indexes[1] | indexes[2]) == 10
+
+
+def test_decode_pool_single_worker_no_deadlock(tmp_path):
+    """Regression (code review): submit_batch on a 1-worker pool must not
+    deadlock (batch orchestration runs on its own thread)."""
+    paths = make_corpus(str(tmp_path), 3)
+    pool = DecodePool(workers=1)
+    try:
+        kept, images = pool.submit_batch(paths).result(timeout=30)
+        assert kept == paths and len(images) == 3
+    finally:
+        pool.close()

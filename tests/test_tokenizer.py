@@ -162,3 +162,23 @@ def _scan(text):
         out.append(text[i:j])
         i = j
     return out
+
+
+def test_hash_tokenizer_stable_across_processes():
+    """Regression (code review): ids must not depend on PYTHONHASHSEED."""
+    import subprocess
+    import sys
+
+    code = (
+        "from image_search_tpu.tokenizer import HashTokenizer;"
+        "print(HashTokenizer(1000, 8)(['hello world'])[0].tolist())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=".",
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu"},
+        ).stdout.strip()
+        for seed in ("1", "2")
+    }
+    assert len(outs) == 1 and outs != {""}, outs
