@@ -86,9 +86,15 @@ def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.App
         snap["model"] = engine.cfg.name
         return web.json_response(snap)
 
+    async def health(request: web.Request) -> web.Response:
+        return web.json_response(
+            {"status": "ok", "model": engine.cfg.name, "corpus": len(engine.index)}
+        )
+
     app.router.add_post("/search", search)
     app.router.add_get("/scan", scan)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/health", health)
     app.router.add_get("/", index_html)
     if os.path.isdir(engine.media_dir):
         app.router.add_static("/media", engine.media_dir, follow_symlinks=True)

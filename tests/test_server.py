@@ -208,3 +208,15 @@ def test_metrics_endpoint(client):
         assert m["latencies"]["index_search"]["p50_ms"] >= 0
 
     loop.run_until_complete(f())
+
+
+def test_health_endpoint(client):
+    c, loop = client
+
+    async def f():
+        r = await c.get("/health")
+        assert r.status == 200
+        h = await r.json()
+        assert h["status"] == "ok" and h["corpus"] == 9
+
+    loop.run_until_complete(f())
