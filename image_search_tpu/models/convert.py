@@ -140,7 +140,11 @@ def _flatten(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
         if isinstance(v, dict):
             out.update(_flatten(v, key + "/"))
         else:
-            out[key] = np.asarray(v)
+            # MUST be C-contiguous: jax.device_get on TPU can return
+            # F-ordered numpy for transpose-origin tensors, and safetensors
+            # serializes raw memory assuming C order — without this, a
+            # checkpoint saved on-TPU silently transposes those tensors
+            out[key] = np.ascontiguousarray(np.asarray(v))
     return out
 
 

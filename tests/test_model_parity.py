@@ -216,3 +216,18 @@ def test_openclip_gelu_variant_parity(rng):
     got_v = np.asarray(jclip.encode_image(params, cfg, jnp.asarray(pixels)))
     assert cosine(got_t, want_t).min() > 0.99999
     assert cosine(got_v, want_v).min() > 0.99999
+
+
+def test_checkpoint_handles_f_ordered_arrays(tmp_path):
+    """Regression: jax.device_get on TPU yields F-contiguous numpy for
+    transpose-origin tensors; safetensors writes raw memory assuming C
+    order, silently transposing them. save_checkpoint must normalize."""
+    cfg = cfglib.tiny_test_config()
+    rng2 = np.random.default_rng(0)
+    w = rng2.normal(size=(64, 32)).astype(np.float32)
+    params = {"text": {"weird": w.T}}  # F-contiguous view
+    assert not params["text"]["weird"].flags["C_CONTIGUOUS"]
+    path = str(tmp_path / "f.safetensors")
+    save_checkpoint(path, params, cfg)
+    restored, _ = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(restored["text"]["weird"]), w.T)
