@@ -121,6 +121,18 @@ def clip_vit_b16() -> CLIPConfig:
     )
 
 
+def openclip_vit_h14() -> CLIPConfig:
+    """laion/CLIP-ViT-H-14-laion2B-s32B-b79K (OpenCLIP H/14)."""
+    return CLIPConfig(
+        name="openclip-vit-H-14",
+        text=TextConfig(hidden_size=1024, num_layers=24, num_heads=16, act="gelu"),
+        vision=VisionConfig(
+            hidden_size=1280, num_layers=32, num_heads=16, act="gelu", patch_size=14
+        ),
+        projection_dim=1024,
+    )
+
+
 def openclip_vit_bigg14() -> CLIPConfig:
     """laion/CLIP-ViT-bigG-14-laion2B-39B-b160k (BASELINE config #5 stretch)."""
     return CLIPConfig(
@@ -189,6 +201,7 @@ PRESETS = {
     "clip-vit-large-patch14": clip_vit_l14,
     "clip-vit-base-patch32": clip_vit_b32,
     "clip-vit-base-patch16": clip_vit_b16,
+    "openclip-vit-H-14": openclip_vit_h14,
     "openclip-vit-bigG-14": openclip_vit_bigg14,
     "siglip-base-patch16-224": siglip_base_patch16_224,
     "clip-tiny-test": tiny_test_config,
