@@ -73,12 +73,17 @@ def _l2(x: jax.Array) -> jax.Array:
 # --- jitted kernels (module-level so caches are shared across instances) ---
 
 
-@partial(jax.jit, donate_argnums=(0,))
+# NB: deliberately NOT donated — concurrent searches snapshot the buffer
+# references and run outside the index lock; donation would invalidate a
+# snapshot mid-flight ("Array has been deleted"). The copy costs one
+# _UPDATE_BLOCK row-slab per append and the old buffer frees as soon as the
+# last search drops its reference.
+@jax.jit
 def _write_block(buf: jax.Array, block: jax.Array, offset: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, block, (offset,) + (0,) * (buf.ndim - 1))
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _grow(new_buf: jax.Array, old_buf: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
 
@@ -174,11 +179,10 @@ class VectorIndex:
         self._paths: List[str] = []
         self._row: dict[str, int] = {}
         self._size = 0
-        # appends DONATE the device buffers (dynamic_update_slice); a search
-        # dispatched concurrently against the old reference would hit
-        # "Array has been deleted". The server searches from a thread pool
-        # while /scan appends, so mutation and queries are serialized here.
-        # Queries are ms-scale, appends block-scale: contention is tiny.
+        # mutation lock: guards metadata (_paths/_row/_size) and buffer
+        # swaps. Queries only hold it long enough to SNAPSHOT the buffer
+        # references + size, then dispatch outside it — appends build new
+        # buffers (no donation) so a snapshot stays valid concurrently.
         self._lock = threading.RLock()
         cap = self._cap_multiple
         self._emb = self._device_zeros((cap, dim), self._row_dtype)
@@ -290,10 +294,11 @@ class VectorIndex:
     def add(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
         """Insert raw (unnormalized) embeddings; dedups by path; persists to
         the attached store if any. Returns #rows actually added."""
-        added = self._add_in_memory(paths, embeddings)
-        if added and self.store is not None:
-            self.store.append(list(paths), np.asarray(embeddings, np.float32))
-        return added
+        with self._lock:  # store shard numbering must not race either
+            added = self._add_in_memory(paths, embeddings)
+            if added and self.store is not None:
+                self.store.append(list(paths), np.asarray(embeddings, np.float32))
+            return added
 
     # -- queries ---------------------------------------------------------------
 
@@ -309,19 +314,18 @@ class VectorIndex:
         ``lax.approx_max_k`` (recall_target 0.95) — faster at 10M-scale,
         and still better-than-MTREE fidelity."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        with self._lock:
+        with self._lock:  # snapshot only; compute runs concurrently
             if self._size == 0:
                 B = int(q.shape[0])
                 return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
             k = self._clamp_k(k)
+            emb, scales = self._emb, self._scales
             size = jnp.asarray(self._size, jnp.int32)
-            if self.mesh is None:
-                s, i = _search_local(self._emb, size, q, k, self._scales, approx)
-            else:
-                s, i = _sharded_search_fn(self.mesh, k, self.quantize == "int8")(
-                    self._emb, size, q, self._scales
-                )
-            return np.asarray(s), np.asarray(i)
+        if self.mesh is None:
+            s, i = _search_local(emb, size, q, k, scales, approx)
+        else:
+            s, i = _sharded_search_fn(self.mesh, k, approx)(emb, size, q, scales)
+        return np.asarray(s), np.asarray(i)
 
     def search_with_feedback(
         self,
@@ -337,11 +341,17 @@ class VectorIndex:
         plain text search, matching ``if !marked_image.is_empty()``
         (search.rs:59).
         """
-        rows = [self._row[p] for p in selected_paths if p in self._row]
-        if not rows:
+        with self._lock:  # snapshot only; compute runs concurrently
+            rows = [self._row[p] for p in selected_paths if p in self._row]
+            if not rows:
+                known = False
+            else:
+                known = True
+                k = self._clamp_k(k)
+                emb, norms, scales = self._emb, self._norms, self._scales
+                size = jnp.asarray(self._size, jnp.int32)
+        if not known:
             return self.search(text_embedding, k, approx)
-        self._lock.acquire()
-        k = self._clamp_k(k)
         # pad selection to a pow2 bucket to bound jit variants
         m = 8
         while m < len(rows):
@@ -349,20 +359,16 @@ class VectorIndex:
         sel = np.full((m,), -1, np.int32)
         sel[: len(rows)] = rows
         text = jnp.asarray(np.asarray(text_embedding, np.float32).reshape(self.dim))
-        size = jnp.asarray(self._size, jnp.int32)
         sel = jnp.asarray(sel)
-        try:
-            if self.mesh is None:
-                s, i = _feedback_search_local(
-                    self._emb, self._norms, size, text, sel, k, self._scales, approx
-                )
-            else:
-                s, i = _sharded_feedback_fn(self.mesh, k, self.quantize == "int8")(
-                    self._emb, self._norms, size, text, sel, self._scales
-                )
-            return np.asarray(s), np.asarray(i)
-        finally:
-            self._lock.release()
+        if self.mesh is None:
+            s, i = _feedback_search_local(
+                emb, norms, size, text, sel, k, scales, approx
+            )
+        else:
+            s, i = _sharded_feedback_fn(self.mesh, k, approx)(
+                emb, norms, size, text, sel, scales
+            )
+        return np.asarray(s), np.asarray(i)
 
     # -- lookups ---------------------------------------------------------------
 
@@ -374,10 +380,11 @@ class VectorIndex:
 
     def get_raw_embeddings(self, paths: Sequence[str]) -> np.ndarray:
         """Stored raw vectors for given paths (the search.rs:43-58 SELECT)."""
-        with self._lock:
+        with self._lock:  # snapshot only
             rows = [self._row[p] for p in paths if p in self._row]
             if not rows:
                 return np.zeros((0, self.dim), np.float32)
-            idx = jnp.asarray(np.asarray(rows))
-            raw = _dequant_rows(self._emb, self._scales, idx) * self._norms[idx][:, None]
-            return np.asarray(raw)
+            emb, norms, scales = self._emb, self._norms, self._scales
+        idx = jnp.asarray(np.asarray(rows))
+        raw = _dequant_rows(emb, scales, idx) * norms[idx][:, None]
+        return np.asarray(raw)

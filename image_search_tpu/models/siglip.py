@@ -135,7 +135,7 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     """Random init with the SigLIP pytree layout (demo/test use)."""
     from image_search_tpu.models.clip import _init_tower_blocks
 
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
     tc, vc = cfg.text, cfg.vision
     D = vc.hidden_size
     patch_dim = vc.patch_size * vc.patch_size * 3
@@ -167,8 +167,10 @@ def init_params(key: jax.Array, cfg: CLIPConfig, dtype=jnp.float32) -> Params:
     vision = {
         "patch_embedding": w(ks[11], (patch_dim, D), patch_dim**-0.5),
         "patch_bias": jnp.zeros((D,), dtype),
-        "position_embedding": w(ks[4], (vc.seq_len, D), 0.01),
-        "blocks": _init_tower_blocks(ks[5], vc, dtype),
+        # ks[12]/ks[13], NOT ks[4]/ks[5]: reusing the head's keys correlated
+        # the probe/q_w with position embeddings/blocks (code-review find)
+        "position_embedding": w(ks[12], (vc.seq_len, D), 0.01),
+        "blocks": _init_tower_blocks(ks[13], vc, dtype),
         "post_ln_scale": jnp.ones((D,), dtype),
         "post_ln_bias": jnp.zeros((D,), dtype),
         "head": head,

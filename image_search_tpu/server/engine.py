@@ -180,12 +180,19 @@ class SearchEngine:
         with global_metrics.timer("text_embed"):
             emb = self.embedder.embed_text(query)
         if len(self._text_cache) >= 512:
-            self._text_cache.pop(next(iter(self._text_cache)))
+            # concurrent searches can race on the same eviction candidate
+            self._text_cache.pop(next(iter(self._text_cache)), None)
         self._text_cache[query] = emb
         return emb
 
     def scan(self) -> ScanStats:
         """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""
+        # Multi-host partitioning feeds DIFFERENT data/call-counts per
+        # process, which is only legal when each process owns its own
+        # process-local index. With a globally sharded index every process
+        # must issue identical jit calls (SPMD), so all hosts scan the full
+        # directory and dedup makes the duplicate adds no-ops.
+        partition = jax.process_count() > 1 and self.mesh is None
         with global_metrics.timer("scan"):
             stats = scan_directory(
                 self.embedder,
@@ -193,9 +200,8 @@ class SearchEngine:
                 self.media_dir,
                 chunk_size=self.args.chunk_size,
                 decode_workers=self.args.decode_workers,
-                # multi-host pods: each process ingests its hash partition
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
+                process_index=jax.process_index() if partition else 0,
+                process_count=jax.process_count() if partition else 1,
             )
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)

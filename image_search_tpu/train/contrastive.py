@@ -107,11 +107,28 @@ def make_train_step(
     (jax.checkpoint over the scanned layers) — necessary for ViT-L/14
     fine-tuning at production batch sizes on 16 GB chips."""
 
-    def loss_fn(params, input_ids, pixels):
-        img, txt, scale = model_lib.forward(
-            params, cfg, input_ids, pixels, compute_dtype=compute_dtype, remat=remat
-        )
-        return clip_loss(img, txt, scale)
+    from image_search_tpu.models import get_model_module
+
+    mod = get_model_module(cfg)  # clip | siglip
+
+    if cfg.arch == "siglip":
+        from image_search_tpu.models.siglip import sigmoid_loss
+
+        def loss_fn(params, input_ids, pixels):
+            img, txt, scale, bias = mod.forward(
+                params, cfg, input_ids, pixels, compute_dtype=compute_dtype
+            )
+            loss = sigmoid_loss(img, txt, scale, bias)
+            logits = scale * jnp.einsum("bp,cp->bc", img, txt) + bias
+            acc = (jnp.argmax(logits, axis=-1) == jnp.arange(logits.shape[0])).mean()
+            return loss, {"loss": loss, "img_to_txt_acc": acc, "logit_scale": scale}
+    else:
+
+        def loss_fn(params, input_ids, pixels):
+            img, txt, scale = mod.forward(
+                params, cfg, input_ids, pixels, compute_dtype=compute_dtype, remat=remat
+            )
+            return clip_loss(img, txt, scale)
 
     def step_fn(state: TrainState, input_ids, pixels):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

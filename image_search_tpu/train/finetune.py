@@ -90,10 +90,20 @@ def run_finetune(
     losses: List[float] = []
     try:
         for step in range(int(state.step), steps):
-            batch = [pairs[rng.randrange(len(pairs))] for _ in range(batch_size)]
-            kept, images = pool.decode_batch([p for p, _ in batch])
-            captions = [c for p, c in batch if p in set(kept)]
-            if len(kept) < 2:
+            # keep the batch EXACTLY batch_size: a short batch breaks
+            # mesh in_shardings divisibility and forces jit retraces
+            images, captions = [], []
+            for _ in range(5):  # refill rounds for decode failures
+                need = batch_size - len(images)
+                if need == 0:
+                    break
+                batch = [pairs[rng.randrange(len(pairs))] for _ in range(need)]
+                kept, decoded = pool.decode_batch([p for p, _ in batch])
+                cap_by_path = {p: c for p, c in batch}
+                images.extend(decoded)
+                captions.extend(cap_by_path[p] for p in kept)
+            if len(images) < batch_size:
+                log.warning("step %d skipped: could not fill batch", step)
                 continue
             pixels = np.asarray(
                 preprocess_images(

@@ -151,3 +151,27 @@ def test_train_state_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     assert load_train_state(str(tmp_path / "missing"), template) is None
+
+
+def test_siglip_train_step(rng):
+    """Regression (code review): training must dispatch by arch — a SigLIP
+    checkpoint trains with siglip.forward + sigmoid loss, not clip's."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_siglip import tiny_siglip_config
+
+    from image_search_tpu.models import get_model_module
+
+    cfg = tiny_siglip_config()
+    params = get_model_module(cfg).init_params(jax.random.key(0), cfg)
+    init_fn, step_fn = make_train_step(cfg, optax.adam(1e-3))
+    state = init_fn(params)
+    ids = rng.integers(2, cfg.text.vocab_size, size=(8, cfg.text.context_length)).astype(np.int32)
+    pix = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    losses = []
+    for _ in range(10):
+        state, m = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
