@@ -31,11 +31,14 @@ log = logging.getLogger(__name__)
 
 CLIENT_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "client", "static")
 
+ENGINE_KEY = web.AppKey("engine", SearchEngine)
+SCAN_LOCK_KEY = web.AppKey("scan_lock", asyncio.Lock)
+
 
 def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.Application:
     app = web.Application(client_max_size=16 * 1024 * 1024)
-    app["engine"] = engine
-    app["scan_lock"] = asyncio.Lock()
+    app[ENGINE_KEY] = engine
+    app[SCAN_LOCK_KEY] = asyncio.Lock()
     static_dir = static_dir or CLIENT_DIR
 
     async def search(request: web.Request) -> web.Response:
@@ -58,7 +61,7 @@ def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.App
     async def scan(request: web.Request) -> web.Response:
         # single-flight like the reference's awaited spawn (search.rs:108-118);
         # concurrent scans would double-decode the same files
-        async with request.app["scan_lock"]:
+        async with request.app[SCAN_LOCK_KEY]:
             try:
                 stats = await asyncio.to_thread(engine.scan)
                 log.info("embedded all images successfully.")
