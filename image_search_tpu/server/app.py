@@ -35,11 +35,81 @@ ENGINE_KEY = web.AppKey("engine", SearchEngine)
 SCAN_LOCK_KEY = web.AppKey("scan_lock", asyncio.Lock)
 
 
-def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.Application:
+class SearchBatcher:
+    """Coalesces concurrent plain text searches into one device program.
+
+    Requests arriving within ``window_ms`` of the first are embedded and
+    searched as ONE batch (engine.search_many): under concurrent load the
+    text tower and the index matmul amortize across requests instead of
+    serializing per query. Feedback searches (referenced_images) bypass the
+    batcher — their Rocchio gathers are per-request.
+    """
+
+    def __init__(self, engine: SearchEngine, window_ms: float, max_batch: int = 32):
+        self.engine = engine
+        self.window = window_ms / 1e3
+        self.max_batch = max_batch
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task = None
+
+    def start(self) -> None:
+        self._task = asyncio.get_event_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        if self._task:
+            self._task.cancel()
+
+    async def submit(self, query: str):
+        fut = asyncio.get_event_loop().create_future()
+        await self._queue.put((query, fut))
+        return await fut
+
+    async def _run(self) -> None:
+        while True:
+            query, fut = await self._queue.get()
+            batch = [(query, fut)]
+            deadline = asyncio.get_event_loop().time() + self.window
+            while len(batch) < self.max_batch:
+                timeout = deadline - asyncio.get_event_loop().time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(
+                        await asyncio.wait_for(self._queue.get(), timeout=timeout)
+                    )
+                except asyncio.TimeoutError:
+                    break
+            queries = [q for q, _ in batch]
+            try:
+                results = await asyncio.to_thread(self.engine.search_many, queries)
+                for (_, f), res in zip(batch, results):
+                    if not f.done():
+                        f.set_result(res)
+            except Exception as err:  # pragma: no cover - propagated per-request
+                for _, f in batch:
+                    if not f.done():
+                        f.set_exception(err)
+
+
+def build_app(
+    engine: SearchEngine,
+    static_dir: Optional[str] = None,
+    batch_window_ms: float = 0.0,
+) -> web.Application:
     app = web.Application(client_max_size=16 * 1024 * 1024)
     app[ENGINE_KEY] = engine
     app[SCAN_LOCK_KEY] = asyncio.Lock()
     static_dir = static_dir or CLIENT_DIR
+    batcher = SearchBatcher(engine, batch_window_ms) if batch_window_ms > 0 else None
+    if batcher is not None:
+        async def _start_batcher(app):
+            batcher.start()
+
+        async def _stop_batcher(app):
+            await batcher.stop()
+
+        app.on_startup.append(_start_batcher)
+        app.on_cleanup.append(_stop_batcher)
 
     async def search(request: web.Request) -> web.Response:
         from image_search_tpu.server.wire import SearchParams
@@ -50,9 +120,12 @@ def build_app(engine: SearchEngine, static_dir: Optional[str] = None) -> web.App
             return web.json_response({"error": "invalid SearchParams"}, status=400)
         log.debug("Handle Search with params: %s", params)
         try:
-            images = await asyncio.to_thread(
-                engine.search, params.q, params.referenced_images
-            )
+            if batcher is not None and not params.referenced_images:
+                images = await batcher.submit(params.q)
+            else:
+                images = await asyncio.to_thread(
+                    engine.search, params.q, params.referenced_images
+                )
         except Exception:
             log.exception("search failed")
             return web.Response(status=500)
@@ -122,7 +195,7 @@ def main(argv=None) -> None:
 
     maybe_start_profiler(args.profiler_port)
     engine = SearchEngine(args)
-    app = build_app(engine, args.static_dir)
+    app = build_app(engine, args.static_dir, batch_window_ms=args.batch_window_ms)
     log.info("serving on http://%s:%d (media: %s)", args.addr, args.port, engine.media_dir)
     web.run_app(app, host=args.addr, port=args.port, print=None)
 

@@ -31,6 +31,7 @@ class ServerArgs:
     decode_workers: int = 16
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
+    batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
     static_dir: Optional[str] = None
     profiler_port: Optional[int] = None  # jax.profiler trace server
 
@@ -66,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=d.mesh_model)
     p.add_argument("--decode-workers", type=int, default=d.decode_workers)
     p.add_argument("--k", type=int, default=d.k)
+    p.add_argument("--batch-window-ms", type=float, default=d.batch_window_ms,
+                   help="coalesce concurrent text searches arriving within "
+                        "this window into one device batch (0 = off)")
     p.add_argument("--search-approx", action="store_true", default=d.search_approx,
                    help="approx top-k (recall 0.95, ~2.3x faster at 10M+ rows; "
                         "still better fidelity than the reference's MTREE)")

@@ -170,6 +170,29 @@ class SearchEngine:
             out.append(ImageReference.for_path(media, float(score)).to_json())
         return out
 
+    def search_many(self, queries: Sequence[str], k: Optional[int] = None):
+        """Coalesced multi-query text search: ONE text-tower batch + ONE
+        [B, D] x [D, N] index matmul for B concurrent requests (the
+        micro-batching path behind --batch-window-ms). Returns a list of
+        result lists in request order."""
+        k = k or self.args.k
+        with global_metrics.timer("text_embed"):
+            embs = self.embedder.embed_texts(list(queries))
+        with global_metrics.timer("index_search"):
+            scores, idx = self.index.search(embs, k, approx=self.args.search_approx)
+        global_metrics.inc("searches", len(queries))
+        global_metrics.inc("batched_searches", len(queries))
+        from image_search_tpu.server.wire import ImageReference
+
+        out = []
+        for b in range(len(queries)):
+            rows = []
+            for row, score in zip(np.asarray(idx[b]).reshape(-1), np.asarray(scores[b]).reshape(-1)):
+                media = self.to_media_path(self.index.paths[int(row)])
+                rows.append(ImageReference.for_path(media, float(score)).to_json())
+            out.append(rows)
+        return out
+
     def _cached_text_embed(self, query: str) -> np.ndarray:
         """Text-tower output cached per query string: feedback rounds repeat
         the same q (the reference re-embeds it every round, search.rs:27)."""

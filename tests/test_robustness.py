@@ -97,3 +97,58 @@ def test_stage_timer_report():
     rep = t.report()
     assert "decode" in rep and "embed" in rep and "n=2" in rep
     assert t.totals["embed"] >= 0.02
+
+
+def test_search_batcher_coalesces(tmp_path):
+    """Micro-batcher: concurrent searches return the same results as the
+    direct path, and at least one multi-query batch actually forms."""
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(
+            f"{media}/{i}.jpg"
+        )
+    engine = SearchEngine(
+        ServerArgs(
+            model_weights=str(tmp_path / "none.st"),
+            model="clip-tiny-test",
+            media_dir=media,
+            index_dir=str(tmp_path / "idx"),
+            k=3,
+        )
+    )
+    engine.scan()
+    queries = [f"query number {i}" for i in range(8)]
+    direct = {q: engine.search(q) for q in queries}
+
+    async def flow():
+        app = build_app(engine, batch_window_ms=25.0)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async def one(q):
+                r = await client.post("/search", json={"q": q})
+                assert r.status == 200
+                return q, (await r.json())["images"]
+
+            results = await asyncio.gather(*[one(q) for q in queries])
+            for q, images in results:
+                # scores differ in the last float bits across batch shapes
+                # (XLA reduction order); ranking must agree
+                got = [i["image_path"] for i in images]
+                want = [i["image_path"] for i in direct[q]]
+                assert got == want, q
+            # feedback path bypasses the batcher but must still work
+            marked = [direct[queries[0]][0]["image_path"]]
+            r = await client.post(
+                "/search", json={"q": queries[0], "referenced_images": marked}
+            )
+            assert r.status == 200
+        finally:
+            await client.close()
+
+    asyncio.new_event_loop().run_until_complete(flow())
+    from image_search_tpu.utils.metrics import global_metrics
+
+    assert global_metrics.snapshot()["counters"].get("batched_searches", 0) >= 8
