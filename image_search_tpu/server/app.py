@@ -53,14 +53,14 @@ class SearchBatcher:
         self._task = None
 
     def start(self) -> None:
-        self._task = asyncio.get_event_loop().create_task(self._run())
+        self._task = asyncio.get_running_loop().create_task(self._run())
 
     async def stop(self) -> None:
         if self._task:
             self._task.cancel()
 
     async def submit(self, query: str):
-        fut = asyncio.get_event_loop().create_future()
+        fut = asyncio.get_running_loop().create_future()
         await self._queue.put((query, fut))
         return await fut
 
@@ -68,9 +68,10 @@ class SearchBatcher:
         while True:
             query, fut = await self._queue.get()
             batch = [(query, fut)]
-            deadline = asyncio.get_event_loop().time() + self.window
+            loop = asyncio.get_running_loop()
+            deadline = loop.time() + self.window
             while len(batch) < self.max_batch:
-                timeout = deadline - asyncio.get_event_loop().time()
+                timeout = deadline - loop.time()
                 if timeout <= 0:
                     break
                 try:
