@@ -103,3 +103,11 @@ def test_bf16_output_dtype(rng):
     img = rand_img(rng, 64, 64)
     out = pp.preprocess_images([img], out_dtype=jnp.bfloat16)
     assert out.dtype == jnp.bfloat16
+
+
+def test_oversized_image_bucket(rng):
+    """Images beyond the largest predefined bucket (4096) still pack/resize."""
+    img = rng.integers(0, 256, size=(4100, 120, 3), dtype=np.uint8)
+    out = np.asarray(pp.preprocess_images([img]))
+    assert out.shape == (1, 224, 224, 3)
+    assert np.isfinite(out).all()
