@@ -58,6 +58,15 @@ class SearchBatcher:
     async def stop(self) -> None:
         if self._task:
             self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+        # fail anything still queued so handlers awaiting submit() wake up
+        while not self._queue.empty():
+            _, fut = self._queue.get_nowait()
+            if not fut.done():
+                fut.cancel()
 
     async def submit(self, query: str):
         fut = asyncio.get_running_loop().create_future()
@@ -86,6 +95,12 @@ class SearchBatcher:
                 for (_, f), res in zip(batch, results):
                     if not f.done():
                         f.set_result(res)
+            except asyncio.CancelledError:
+                # shutdown mid-batch: wake the waiting handlers, then exit
+                for _, f in batch:
+                    if not f.done():
+                        f.cancel()
+                raise
             except Exception as err:  # pragma: no cover - propagated per-request
                 for _, f in batch:
                     if not f.done():

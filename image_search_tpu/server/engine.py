@@ -160,15 +160,7 @@ class SearchEngine:
         global_metrics.inc("searches")
         if selected:
             global_metrics.inc("searches_with_feedback")
-        from image_search_tpu.server.wire import ImageReference
-
-        out = []
-        for row, score in zip(np.asarray(idx).reshape(-1), np.asarray(scores).reshape(-1)):
-            abs_path = self.index.paths[int(row)]
-            media = self.to_media_path(abs_path)
-            # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
-            out.append(ImageReference.for_path(media, float(score)).to_json())
-        return out
+        return self._format_results(scores, idx)
 
     def search_many(self, queries: Sequence[str], k: Optional[int] = None):
         """Coalesced multi-query text search: ONE text-tower batch + ONE
@@ -176,21 +168,39 @@ class SearchEngine:
         micro-batching path behind --batch-window-ms). Returns a list of
         result lists in request order."""
         k = k or self.args.k
-        with global_metrics.timer("text_embed"):
-            embs = self.embedder.embed_texts(list(queries))
+        queries = list(queries)
+        # reuse the text cache (the feedback round re-sends the same q);
+        # snapshot hits locally — a concurrent search could evict entries
+        # between our insert and the stack below
+        local = {q: self._text_cache[q] for q in queries if q in self._text_cache}
+        misses = [q for q in queries if q not in local]
+        if misses:
+            with global_metrics.timer("text_embed"):
+                embs = self.embedder.embed_texts(misses)
+            for q, e in zip(misses, embs):
+                local[q] = e
+                if len(self._text_cache) >= 512:
+                    self._text_cache.pop(next(iter(self._text_cache)), None)
+                self._text_cache[q] = e
+        global_metrics.inc("text_embed_cache_hits", len(queries) - len(misses))
+        q_mat = np.stack([local[q] for q in queries])
         with global_metrics.timer("index_search"):
-            scores, idx = self.index.search(embs, k, approx=self.args.search_approx)
+            scores, idx = self.index.search(q_mat, k, approx=self.args.search_approx)
         global_metrics.inc("searches", len(queries))
-        global_metrics.inc("batched_searches", len(queries))
+        if len(queries) > 1:  # only true coalescing counts
+            global_metrics.inc("batched_searches", len(queries))
+        return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
+
+    def _format_results(self, scores_row, idx_row):
         from image_search_tpu.server.wire import ImageReference
 
         out = []
-        for b in range(len(queries)):
-            rows = []
-            for row, score in zip(np.asarray(idx[b]).reshape(-1), np.asarray(scores[b]).reshape(-1)):
-                media = self.to_media_path(self.index.paths[int(row)])
-                rows.append(ImageReference.for_path(media, float(score)).to_json())
-            out.append(rows)
+        for row, score in zip(
+            np.asarray(idx_row).reshape(-1), np.asarray(scores_row).reshape(-1)
+        ):
+            media = self.to_media_path(self.index.paths[int(row)])
+            # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
+            out.append(ImageReference.for_path(media, float(score)).to_json())
         return out
 
     def _cached_text_embed(self, query: str) -> np.ndarray:

@@ -151,4 +151,6 @@ def test_search_batcher_coalesces(tmp_path):
     asyncio.new_event_loop().run_until_complete(flow())
     from image_search_tpu.utils.metrics import global_metrics
 
-    assert global_metrics.snapshot()["counters"].get("batched_searches", 0) >= 8
+    # only genuinely coalesced (len>1) batches count: the 8 gathered
+    # requests must have produced at least one multi-query batch
+    assert global_metrics.snapshot()["counters"].get("batched_searches", 0) >= 2
