@@ -78,6 +78,10 @@ def fused_attention_packed(
         out_specs=spec,
         scratch_shapes=[pltpu.VMEM((heads, S, S), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((B, S, DH), q.dtype),
+        # batch-grid steps are independent -> lets Mosaic pipeline them
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(q, k, v)
 
@@ -243,6 +247,9 @@ def fused_qkv_attention(
             pltpu.VMEM((group, S, S), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(x, qkv_w, qkv_b.reshape(1, -1))
 

@@ -164,3 +164,17 @@ def test_decode_pool_single_worker_no_deadlock(tmp_path):
         assert kept == paths and len(images) == 3
     finally:
         pool.close()
+
+
+def test_walker_follows_symlinks(tmp_path):
+    """WalkDir::follow_links parity (clip.rs:52): symlinked dirs are scanned,
+    broken symlinks are skipped."""
+    real = tmp_path / "real"
+    make_corpus(str(real), 3)
+    linked_root = tmp_path / "library"
+    linked_root.mkdir()
+    (linked_root / "album").symlink_to(real, target_is_directory=True)
+    (linked_root / "dangling.jpg").symlink_to(tmp_path / "missing.jpg")
+    found = find_images(str(linked_root), shuffle=False)
+    assert len(found) == 3
+    assert all("album" in p for p in found)
