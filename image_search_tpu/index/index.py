@@ -250,7 +250,16 @@ class VectorIndex:
 
     def _add_in_memory_locked(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
         embeddings = np.asarray(embeddings, np.float32)
-        keep = [i for i, p in enumerate(paths) if p not in self._row]
+        # dedup against the index AND within the batch (first occurrence
+        # wins): a repeated path would otherwise insert two live rows with
+        # _row pointing only at the last one
+        seen_batch: set = set()
+        keep = []
+        for i, p in enumerate(paths):
+            if p in self._row or p in seen_batch:
+                continue
+            seen_batch.add(p)
+            keep.append(i)
         if not keep:
             return 0
         if len(keep) < len(paths):

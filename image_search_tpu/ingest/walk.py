@@ -31,7 +31,38 @@ def iter_images(media_dir: str, follow_symlinks: bool = True) -> Iterator[str]:
         # permission errors etc are encountered here (clip.rs:54-57)
         log.error("Image walk error: %s", err)
 
-    for root, _dirs, files in os.walk(media_dir, onerror=on_error, followlinks=follow_symlinks):
+    # Symlink-cycle guard: the reference's walkdir reports symlink loops as
+    # errors and stops descending; os.walk(followlinks=True) would re-emit
+    # every file once per nesting level until ELOOP. Track each visited
+    # directory by the (st_dev, st_ino) of its resolved target and prune
+    # already-seen dirs — this kills cycles AND diamond-link duplicates.
+    seen_dirs: set = set()
+
+    def _dir_key(path: str):
+        st = os.stat(path)  # follows symlinks
+        return (st.st_dev, st.st_ino)
+
+    try:
+        seen_dirs.add(_dir_key(media_dir))
+    except OSError as err:
+        log.error("Image walk error: %s", err)
+
+    for root, dirs, files in os.walk(media_dir, onerror=on_error, followlinks=follow_symlinks):
+        if follow_symlinks:
+            kept = []
+            for d in dirs:
+                sub = os.path.join(root, d)
+                try:
+                    key = _dir_key(sub)
+                except OSError as err:
+                    log.error("Image walk error: %s", err)
+                    continue
+                if key in seen_dirs:
+                    log.error("Image walk error: directory loop at %s (already visited)", sub)
+                    continue
+                seen_dirs.add(key)
+                kept.append(d)
+            dirs[:] = kept  # in-place: os.walk descends only into survivors
         for name in files:
             path = os.path.join(root, name)
             if not is_image_path(path):

@@ -44,6 +44,7 @@ def encode_text(
     input_ids: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
     normalize: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Text ids [B, 64] -> [B, projection_dim]; last-token pooling + head."""
     t = params["text"]
@@ -51,7 +52,7 @@ def encode_text(
     B, S = input_ids.shape
     x = t["token_embedding"][input_ids] + t["position_embedding"][:S]
     x = x.astype(compute_dtype)
-    x = _encoder(x, t["blocks"], tc, causal=False)  # bidirectional
+    x = _encoder(x, t["blocks"], tc, causal=False, remat=remat)  # bidirectional
     x = _layer_norm(x, t["final_ln_scale"], t["final_ln_bias"], tc.layernorm_eps)
     pooled = x[:, -1]  # fixed-length padded input: last position
     emb = (
@@ -95,6 +96,7 @@ def encode_image(
     pixels: jax.Array,
     compute_dtype: jnp.dtype = jnp.float32,
     normalize: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Preprocessed NHWC pixels -> [B, projection_dim] via the MAP head."""
     v = params["vision"]
@@ -105,7 +107,7 @@ def encode_image(
         + v["patch_bias"].astype(compute_dtype)
     )
     x = x + v["position_embedding"].astype(compute_dtype)
-    x = _encoder(x, v["blocks"], vc, causal=False)
+    x = _encoder(x, v["blocks"], vc, causal=False, remat=remat)
     x = _layer_norm(x, v["post_ln_scale"], v["post_ln_bias"], vc.layernorm_eps)
     emb = _map_head(x, v["head"], cfg)
     if normalize:
@@ -113,11 +115,11 @@ def encode_image(
     return emb
 
 
-def forward(params, cfg, input_ids, pixels, compute_dtype=jnp.float32):
+def forward(params, cfg, input_ids, pixels, compute_dtype=jnp.float32, remat=False):
     """Returns (img_emb, txt_emb, logit_scale, logit_bias); embeddings
     l2-normalized. Pairwise logits = scale * img @ txt.T + bias."""
-    img = encode_image(params, cfg, pixels, compute_dtype, normalize=True)
-    txt = encode_text(params, cfg, input_ids, compute_dtype, normalize=True)
+    img = encode_image(params, cfg, pixels, compute_dtype, normalize=True, remat=remat)
+    txt = encode_text(params, cfg, input_ids, compute_dtype, normalize=True, remat=remat)
     scale = jnp.exp(params["logit_scale"].astype(jnp.float32))
     bias = params["logit_bias"].astype(jnp.float32)
     return img, txt, scale, bias

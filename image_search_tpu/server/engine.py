@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import urllib.parse
 from typing import List, Optional, Sequence
 
@@ -66,6 +67,10 @@ class SearchEngine:
             preprocess_mode=args.preprocess_mode,
         )
         self._text_cache: dict = {}
+        # guards get/insert/evict: asyncio.to_thread searches mutate the
+        # dict concurrently; unguarded next(iter(...)) eviction can raise
+        # "dictionary changed size during iteration" under load
+        self._text_lock = threading.Lock()
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
         self.index = VectorIndex(
             cfg.projection_dim,
@@ -118,14 +123,34 @@ class SearchEngine:
 
     def to_abs_path(self, media_path: str) -> Optional[str]:
         """'media/x/y.jpg' -> '<media_dir>/x/y.jpg' (search.rs:35-40 remap).
-        Rejects non-media/ paths and directory traversal."""
+        Rejects non-media/ paths and directory traversal.
+
+        Paths arrive VERBATIM (the reference does no unquoting, and the
+        bundled client posts image_path exactly as served) — unquoting here
+        would corrupt filenames containing literal %XX sequences."""
         if not media_path.startswith(MEDIA_PREFIX):
             return None
-        rel = urllib.parse.unquote(media_path[len(MEDIA_PREFIX) :])
+        rel = media_path[len(MEDIA_PREFIX) :]
         abs_path = os.path.normpath(os.path.join(self.media_dir, rel))
         if not abs_path.startswith(os.path.normpath(self.media_dir) + os.sep):
             return None
         return abs_path
+
+    def _resolve_selection(self, media_path: str) -> Optional[str]:
+        """Referenced-image path -> indexed absolute path.
+
+        Tries the raw string first; falls back to the urldecoded form only
+        when the raw path is unknown to the index (a client may echo the
+        urlencoded ``id`` field instead of ``image_path``)."""
+        abs_raw = self.to_abs_path(media_path)
+        if abs_raw is not None and self.index.has_path(abs_raw):
+            return abs_raw
+        unquoted = urllib.parse.unquote(media_path)
+        if unquoted != media_path:
+            abs_unq = self.to_abs_path(unquoted)
+            if abs_unq is not None and self.index.has_path(abs_unq):
+                return abs_unq
+        return abs_raw
 
     def to_media_path(self, abs_path: str) -> str:
         """absolute -> 'media/...' URL (search.rs:93-99 reverse map)."""
@@ -147,7 +172,7 @@ class SearchEngine:
         k = k or self.args.k
         text_emb = self._cached_text_embed(query)
         selected = [
-            p for p in (self.to_abs_path(m) for m in referenced_images) if p is not None
+            p for p in (self._resolve_selection(m) for m in referenced_images) if p is not None
         ]
         approx = self.args.search_approx
         with global_metrics.timer("index_search"):
@@ -172,16 +197,22 @@ class SearchEngine:
         # reuse the text cache (the feedback round re-sends the same q);
         # snapshot hits locally — a concurrent search could evict entries
         # between our insert and the stack below
-        local = {q: self._text_cache[q] for q in queries if q in self._text_cache}
+        with self._text_lock:
+            local = {}
+            for q in queries:
+                hit = self._text_cache.pop(q, None)
+                if hit is not None:
+                    local[q] = self._text_cache[q] = hit  # reinsert: LRU refresh
         misses = [q for q in queries if q not in local]
         if misses:
             with global_metrics.timer("text_embed"):
                 embs = self.embedder.embed_texts(misses)
-            for q, e in zip(misses, embs):
-                local[q] = e
-                if len(self._text_cache) >= 512:
-                    self._text_cache.pop(next(iter(self._text_cache)), None)
-                self._text_cache[q] = e
+            with self._text_lock:
+                for q, e in zip(misses, embs):
+                    local[q] = e
+                    if len(self._text_cache) >= 512:
+                        self._text_cache.pop(next(iter(self._text_cache)), None)
+                    self._text_cache[q] = e
         global_metrics.inc("text_embed_cache_hits", len(queries) - len(misses))
         q_mat = np.stack([local[q] for q in queries])
         with global_metrics.timer("index_search"):
@@ -204,18 +235,24 @@ class SearchEngine:
         return out
 
     def _cached_text_embed(self, query: str) -> np.ndarray:
-        """Text-tower output cached per query string: feedback rounds repeat
-        the same q (the reference re-embeds it every round, search.rs:27)."""
-        hit = self._text_cache.get(query)
+        """Text-tower output cached per query string (LRU): feedback rounds
+        repeat the same q (the reference re-embeds it every round,
+        search.rs:27). Eviction is least-recently-USED — dict order is
+        insertion order and hits reinsert, so next(iter(...)) is the LRU
+        entry; hot repeated queries survive sustained mixed load."""
+        with self._text_lock:
+            hit = self._text_cache.pop(query, None)
+            if hit is not None:
+                self._text_cache[query] = hit  # reinsert: LRU refresh
         if hit is not None:
             global_metrics.inc("text_embed_cache_hits")
             return hit
         with global_metrics.timer("text_embed"):
             emb = self.embedder.embed_text(query)
-        if len(self._text_cache) >= 512:
-            # concurrent searches can race on the same eviction candidate
-            self._text_cache.pop(next(iter(self._text_cache)), None)
-        self._text_cache[query] = emb
+        with self._text_lock:
+            if len(self._text_cache) >= 512:
+                self._text_cache.pop(next(iter(self._text_cache)), None)
+            self._text_cache[query] = emb
         return emb
 
     def scan(self) -> ScanStats:

@@ -116,7 +116,7 @@ def make_train_step(
 
         def loss_fn(params, input_ids, pixels):
             img, txt, scale, bias = mod.forward(
-                params, cfg, input_ids, pixels, compute_dtype=compute_dtype
+                params, cfg, input_ids, pixels, compute_dtype=compute_dtype, remat=remat
             )
             loss = sigmoid_loss(img, txt, scale, bias)
             logits = scale * jnp.einsum("bp,cp->bc", img, txt) + bias

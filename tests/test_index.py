@@ -303,3 +303,16 @@ def test_sharded_approx_path_executes(rng, mesh8):
     assert set(ia[0].tolist()) == set(ie[0].tolist())
     s2, i2 = sharded.search_with_feedback(q, [paths[5]], 10, approx=True)
     assert s2.shape == (1, 10)
+
+
+def test_dedup_within_batch(rng):
+    """A path repeated in ONE add() call inserts exactly one row (first
+    occurrence wins) — a duplicate would leave a stale searchable row."""
+    paths, emb = make_data(rng, 4)
+    dup_paths = [paths[0], paths[1], paths[0], paths[2], paths[1]]
+    dup_emb = np.stack([emb[0], emb[1], emb[3], emb[2], emb[3]])
+    idx = VectorIndex(DIM)
+    assert idx.add(dup_paths, dup_emb) == 3
+    assert len(idx) == 3
+    got = idx.get_raw_embeddings([paths[0], paths[1], paths[2]])
+    np.testing.assert_allclose(got, np.stack([emb[0], emb[1], emb[2]]), rtol=1e-5)

@@ -178,3 +178,27 @@ def test_walker_follows_symlinks(tmp_path):
     found = find_images(str(linked_root), shuffle=False)
     assert len(found) == 3
     assert all("album" in p for p in found)
+
+
+def test_walker_survives_symlink_cycle(tmp_path):
+    """A symlink loop under media_dir must not duplicate files (the
+    reference's walkdir reports loops as errors; os.walk would re-emit
+    every file once per nesting level until ELOOP)."""
+    root = tmp_path / "pics"
+    make_corpus(str(root), 3)
+    (root / "loop").symlink_to(root, target_is_directory=True)
+    found = find_images(str(root), shuffle=False)
+    assert len(found) == 3  # each file exactly once
+    assert len(set(found)) == 3
+
+
+def test_walker_dedups_diamond_symlinks(tmp_path):
+    """Two links to the same directory: its files are emitted once."""
+    real = tmp_path / "real"
+    make_corpus(str(real), 2)
+    lib = tmp_path / "library"
+    lib.mkdir()
+    (lib / "a").symlink_to(real, target_is_directory=True)
+    (lib / "b").symlink_to(real, target_is_directory=True)
+    found = find_images(str(lib), shuffle=False)
+    assert len(found) == 2

@@ -220,3 +220,57 @@ def test_health_endpoint(client):
         assert h["status"] == "ok" and h["corpus"] == 9
 
     loop.run_until_complete(f())
+
+
+def test_literal_percent_filename_feedback(tmp_path):
+    """Advisor regression: a filename containing a LITERAL %XX sequence must
+    survive the feedback round-trip verbatim (the reference never unquotes);
+    the urldecoded form is only a fallback for clients echoing the id."""
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(3)
+    for name in ["photo%20a.jpg", "photo a.jpg", "plain.jpg"]:
+        arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(media, name))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        chunk_size=4,
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+
+    # raw literal-% path resolves to itself, NOT to 'photo a.jpg'
+    got = eng._resolve_selection("media/photo%20a.jpg")
+    assert got == os.path.join(eng.media_dir, "photo%20a.jpg")
+    # an urlencoded id for the space-named file falls back to the decoded form
+    # only when the raw string is unknown to the index
+    enc = "media/photo%20b.jpg"  # decodes to 'photo b.jpg' (not indexed) -> raw
+    assert eng._resolve_selection(enc) == os.path.join(eng.media_dir, "photo%20b.jpg")
+    # feedback search with the literal-% file actually uses the selection
+    res_plain = eng.search("anything")
+    res_fb = eng.search("anything", referenced_images=["media/photo%20a.jpg"])
+    assert res_plain != res_fb  # Rocchio moved the ranking
+
+
+def test_text_cache_is_lru(tmp_path):
+    """Hot repeated queries survive eviction pressure (LRU, not FIFO)."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=2)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng._cached_text_embed("hot")
+    # fill the cache to capacity with cold entries
+    for i in range(511):
+        eng._text_cache[f"cold{i}"] = eng._text_cache["hot"]
+    eng._cached_text_embed("hot")  # refresh recency
+    eng._cached_text_embed("new")  # triggers one eviction
+    assert "hot" in eng._text_cache
+    assert "cold0" not in eng._text_cache  # the LRU entry went instead

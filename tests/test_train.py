@@ -175,3 +175,29 @@ def test_siglip_train_step(rng):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_siglip_remat_step_matches_plain(rng):
+    """Regression (advisor): --remat must not be a silent no-op for SigLIP —
+    it threads through siglip.forward and leaves the math unchanged."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_siglip import tiny_siglip_config
+
+    from image_search_tpu.models import get_model_module
+
+    cfg = tiny_siglip_config()
+    params = get_model_module(cfg).init_params(jax.random.key(1), cfg)
+    ids = rng.integers(2, cfg.text.vocab_size, size=(4, cfg.text.context_length)).astype(np.int32)
+    pix = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    opt = optax.sgd(1e-2)
+
+    init_a, step_a = make_train_step(cfg, opt)
+    sa, ma = step_a(init_a(params), jnp.asarray(ids), jnp.asarray(pix))
+    init_b, step_b = make_train_step(cfg, opt, remat=True)
+    sb, mb = step_b(init_b(params), jnp.asarray(ids), jnp.asarray(pix))
+
+    assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
