@@ -22,8 +22,11 @@ Quantization (BASELINE config #5): ``quantize=`` selects the row format —
   - None       f32 rows (exact; 10M x 768 = 30 GB, needs sharding)
   - "bfloat16" 2x smaller, MXU-native; cosine error ~1e-3
   - "int8"     4x smaller with per-row symmetric scales; the score matmul
-               runs int8 x int8 -> int32 on the MXU at 2x bf16 throughput
-               and is rescaled in f32 (10M x 768 = 7.7 GB -> fits ONE chip)
+               runs int8 x int8 -> int32 on the MXU (XLA's f32-exact fast
+               path, valid because K=768 <= 2^24/127^2) and is rescaled in
+               f32 (10M x 768 = 7.7 GB -> fits ONE chip). The win is 4x
+               less HBM traffic, not compute rate (docs/PERF_NOTES.md
+               round-2 int8 study).
 
 Capacity is bucketed (powers of two) and rows are appended on-device with
 donated ``dynamic_update_slice`` blocks, so ingest never recompiles per
@@ -127,7 +130,15 @@ def _search_local(emb, size, queries, k: int, scales=None, approx: bool = False)
 def _feedback_search_local(
     emb, norms, size, text_emb, sel_idx, k: int, scales=None, approx: bool = False
 ):
-    q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
+    """Batched fused Rocchio search: text_emb [B, D], sel_idx [B, m].
+
+    A row of all -1 selections degrades to the plain text search BITWISE
+    (query = 0.5 * text; the 0.5 is a power of two, so l2-normalization
+    cancels it exactly) — concurrent plain and feedback searches can
+    therefore coalesce into one device program."""
+    q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
+        emb, scales, norms, text_emb, sel_idx
+    )
     return _search_local(emb, size, q, k, scales, approx)
 
 
@@ -147,7 +158,9 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
     def fn(emb, norms, size, text_emb, sel_idx, scales=None):
-        q = _rocchio_query(emb, scales, norms, text_emb, sel_idx)[None, :]
+        q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
+            emb, scales, norms, text_emb, sel_idx
+        )
         qn = _l2(q)
         return sharded_topk(
             emb, _valid_mask(emb.shape[0], size), qn, k, mesh, scales, approx
@@ -350,34 +363,66 @@ class VectorIndex:
         plain text search, matching ``if !marked_image.is_empty()``
         (search.rs:59).
         """
-        with self._lock:  # snapshot only; compute runs concurrently
-            rows = [self._row[p] for p in selected_paths if p in self._row]
-            if not rows:
-                known = False
-            else:
-                known = True
-                k = self._clamp_k(k)
-                emb, norms, scales = self._emb, self._norms, self._scales
-                size = jnp.asarray(self._size, jnp.int32)
+        with self._lock:  # snapshot only
+            known = any(p in self._row for p in selected_paths)
         if not known:
             return self.search(text_embedding, k, approx)
-        # pad selection to a pow2 bucket to bound jit variants
+        return self.search_with_feedback_batch(
+            np.asarray(text_embedding, np.float32).reshape(1, self.dim),
+            [list(selected_paths)],
+            k,
+            approx=approx,
+        )
+
+    def search_with_feedback_batch(
+        self,
+        text_embeddings: np.ndarray,
+        selected_paths_list: Sequence[Sequence[str]],
+        k: int = 1000,
+        approx: bool = False,
+    ):
+        """B concurrent Rocchio searches fused into ONE device program.
+
+        ``text_embeddings`` is [B, D] raw text vectors; ``selected_paths_list``
+        holds each request's referenced absolute paths (possibly empty —
+        empty/unknown selections degrade to a plain text search bitwise, see
+        ``_feedback_search_local``). This is the micro-batched counterpart of
+        the reference's per-request feedback flow (search.rs:34-77), which
+        serializes on its DB mutex under concurrency."""
+        B = len(selected_paths_list)
+        text = np.asarray(text_embeddings, np.float32).reshape(B, self.dim)
+        with self._lock:  # snapshot only; compute runs concurrently
+            if self._size == 0:
+                return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
+            k = self._clamp_k(k)
+            rows_list = [
+                [self._row[p] for p in sel if p in self._row]
+                for sel in selected_paths_list
+            ]
+            emb, norms, scales = self._emb, self._norms, self._scales
+            size = jnp.asarray(self._size, jnp.int32)
+        # pad selections and batch to pow2 buckets to bound jit variants
         m = 8
-        while m < len(rows):
+        while m < max((len(r) for r in rows_list), default=0):
             m *= 2
-        sel = np.full((m,), -1, np.int32)
-        sel[: len(rows)] = rows
-        text = jnp.asarray(np.asarray(text_embedding, np.float32).reshape(self.dim))
-        sel = jnp.asarray(sel)
+        Bpad = 1
+        while Bpad < B:
+            Bpad *= 2
+        sel = np.full((Bpad, m), -1, np.int32)
+        for b, r in enumerate(rows_list):
+            sel[b, : len(r)] = r
+        text_pad = np.zeros((Bpad, self.dim), np.float32)
+        text_pad[:B] = text
+        text_j, sel_j = jnp.asarray(text_pad), jnp.asarray(sel)
         if self.mesh is None:
             s, i = _feedback_search_local(
-                emb, norms, size, text, sel, k, scales, approx
+                emb, norms, size, text_j, sel_j, k, scales, approx
             )
         else:
             s, i = _sharded_feedback_fn(self.mesh, k, approx)(
-                emb, norms, size, text, sel, scales
+                emb, norms, size, text_j, sel_j, scales
             )
-        return np.asarray(s), np.asarray(i)
+        return np.asarray(s)[:B], np.asarray(i)[:B]
 
     # -- lookups ---------------------------------------------------------------
 

@@ -9,8 +9,10 @@ compiles the ``all_gather`` onto ICI — the role NCCL allgather would play in
 a GPU design (SURVEY.md §5, distributed-communication row).
 
 Supports the quantized row formats of ``index.index``: pass ``scales`` for
-int8 rows (per-row dequantization factors); the int8 matmul runs on the MXU
-at 2x bf16 rate with i32 accumulation and is rescaled in f32 afterward.
+int8 rows (per-row dequantization factors); the int8 matmul stays on the
+MXU via XLA's f32-exact fast path (K=768 <= 2^24/127^2) and is rescaled in
+f32 afterward — the int8 win is 4x less HBM traffic, which is what bounds
+the big-corpus score matmul (docs/PERF_NOTES.md).
 """
 
 from __future__ import annotations

@@ -36,13 +36,15 @@ SCAN_LOCK_KEY = web.AppKey("scan_lock", asyncio.Lock)
 
 
 class SearchBatcher:
-    """Coalesces concurrent plain text searches into one device program.
+    """Coalesces concurrent searches — plain AND feedback — into one device
+    program.
 
     Requests arriving within ``window_ms`` of the first are embedded and
     searched as ONE batch (engine.search_many): under concurrent load the
-    text tower and the index matmul amortize across requests instead of
-    serializing per query. Feedback searches (referenced_images) bypass the
-    batcher — their Rocchio gathers are per-request.
+    text tower and the fused Rocchio/index program amortize across requests
+    instead of serializing per query. Each request's referenced_images ride
+    along as one padded selection row ([B, m] sel_idx in the fused program);
+    an empty selection degrades to the plain text search bitwise.
     """
 
     def __init__(self, engine: SearchEngine, window_ms: float, max_batch: int = 32):
@@ -64,19 +66,19 @@ class SearchBatcher:
                 pass
         # fail anything still queued so handlers awaiting submit() wake up
         while not self._queue.empty():
-            _, fut = self._queue.get_nowait()
+            *_, fut = self._queue.get_nowait()
             if not fut.done():
                 fut.cancel()
 
-    async def submit(self, query: str):
+    async def submit(self, query: str, referenced_images=()):
         fut = asyncio.get_running_loop().create_future()
-        await self._queue.put((query, fut))
+        await self._queue.put((query, tuple(referenced_images), fut))
         return await fut
 
     async def _run(self) -> None:
         while True:
-            query, fut = await self._queue.get()
-            batch = [(query, fut)]
+            first = await self._queue.get()
+            batch = [first]
             loop = asyncio.get_running_loop()
             deadline = loop.time() + self.window
             while len(batch) < self.max_batch:
@@ -89,20 +91,23 @@ class SearchBatcher:
                     )
                 except asyncio.TimeoutError:
                     break
-            queries = [q for q, _ in batch]
+            queries = [q for q, _, _ in batch]
+            selections = [sel for _, sel, _ in batch]
             try:
-                results = await asyncio.to_thread(self.engine.search_many, queries)
-                for (_, f), res in zip(batch, results):
+                results = await asyncio.to_thread(
+                    self.engine.search_many, queries, selections
+                )
+                for (_, _, f), res in zip(batch, results):
                     if not f.done():
                         f.set_result(res)
             except asyncio.CancelledError:
                 # shutdown mid-batch: wake the waiting handlers, then exit
-                for _, f in batch:
+                for _, _, f in batch:
                     if not f.done():
                         f.cancel()
                 raise
             except Exception as err:  # pragma: no cover - propagated per-request
-                for _, f in batch:
+                for _, _, f in batch:
                     if not f.done():
                         f.set_exception(err)
 
@@ -136,8 +141,8 @@ def build_app(
             return web.json_response({"error": "invalid SearchParams"}, status=400)
         log.debug("Handle Search with params: %s", params)
         try:
-            if batcher is not None and not params.referenced_images:
-                images = await batcher.submit(params.q)
+            if batcher is not None:
+                images = await batcher.submit(params.q, params.referenced_images)
             else:
                 images = await asyncio.to_thread(
                     engine.search, params.q, params.referenced_images

@@ -187,10 +187,18 @@ class SearchEngine:
             global_metrics.inc("searches_with_feedback")
         return self._format_results(scores, idx)
 
-    def search_many(self, queries: Sequence[str], k: Optional[int] = None):
-        """Coalesced multi-query text search: ONE text-tower batch + ONE
-        [B, D] x [D, N] index matmul for B concurrent requests (the
-        micro-batching path behind --batch-window-ms). Returns a list of
+    def search_many(
+        self,
+        queries: Sequence[str],
+        selections: Optional[Sequence[Sequence[str]]] = None,
+        k: Optional[int] = None,
+    ):
+        """Coalesced multi-query search: ONE text-tower batch + ONE fused
+        index program for B concurrent requests (the micro-batching path
+        behind --batch-window-ms). ``selections`` carries each request's
+        referenced_images ('media/...' URLs); plain and Rocchio-feedback
+        searches coalesce into the same batched program (the reference
+        serializes these on its DB mutex, search.rs:26). Returns a list of
         result lists in request order."""
         k = k or self.args.k
         queries = list(queries)
@@ -215,11 +223,24 @@ class SearchEngine:
                     self._text_cache[q] = e
         global_metrics.inc("text_embed_cache_hits", len(queries) - len(misses))
         q_mat = np.stack([local[q] for q in queries])
+        sel_lists = [
+            [p for p in (self._resolve_selection(m) for m in sel) if p is not None]
+            for sel in (selections or [()] * len(queries))
+        ]
+        n_feedback = sum(1 for s in sel_lists if s)
         with global_metrics.timer("index_search"):
-            scores, idx = self.index.search(q_mat, k, approx=self.args.search_approx)
+            if n_feedback:
+                scores, idx = self.index.search_with_feedback_batch(
+                    q_mat, sel_lists, k, approx=self.args.search_approx
+                )
+            else:
+                scores, idx = self.index.search(q_mat, k, approx=self.args.search_approx)
         global_metrics.inc("searches", len(queries))
+        global_metrics.inc("searches_with_feedback", n_feedback)
         if len(queries) > 1:  # only true coalescing counts
             global_metrics.inc("batched_searches", len(queries))
+            if n_feedback:
+                global_metrics.inc("batched_feedback_searches", n_feedback)
         return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
 
     def _format_results(self, scores_row, idx_row):

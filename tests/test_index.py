@@ -316,3 +316,38 @@ def test_dedup_within_batch(rng):
     assert len(idx) == 3
     got = idx.get_raw_embeddings([paths[0], paths[1], paths[2]])
     np.testing.assert_allclose(got, np.stack([emb[0], emb[1], emb[2]]), rtol=1e-5)
+
+
+def test_batched_feedback_matches_serial(rng):
+    """One fused [B, m] feedback program == B serial searches: rows with
+    selections match search_with_feedback, empty/unknown rows match the
+    plain text search bitwise (query = 0.5*text normalizes identically)."""
+    paths, emb = make_data(rng, 300)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    texts = rng.normal(size=(4, DIM)).astype(np.float32)
+    sels = [paths[:3], [], paths[10:25], ["/unknown.jpg"]]
+    bs, bi = idx.search_with_feedback_batch(texts, sels, k=20)
+    assert bs.shape == (4, 20) and bi.shape == (4, 20)
+    for b in range(4):
+        if any(p in set(paths) for p in sels[b]):
+            ss, si = idx.search_with_feedback(texts[b], sels[b], k=20)
+        else:
+            ss, si = idx.search(texts[b], k=20)
+        np.testing.assert_array_equal(bi[b], np.asarray(si).reshape(-1))
+        np.testing.assert_allclose(bs[b], np.asarray(ss).reshape(-1), rtol=1e-5)
+
+
+def test_sharded_batched_feedback_equals_local(rng, mesh8):
+    """The mesh-sharded batched feedback program returns the local result."""
+    paths, emb = make_data(rng, 256)
+    local = VectorIndex(DIM)
+    local.add(paths, emb)
+    sharded = VectorIndex(DIM, mesh=mesh8)
+    sharded.add(paths, emb)
+    texts = rng.normal(size=(3, DIM)).astype(np.float32)
+    sels = [paths[5:9], [], paths[100:102]]
+    ls, li = local.search_with_feedback_batch(texts, sels, k=10)
+    ss, si = sharded.search_with_feedback_batch(texts, sels, k=10)
+    np.testing.assert_array_equal(li, si)
+    np.testing.assert_allclose(ls, ss, rtol=1e-5)

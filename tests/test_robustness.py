@@ -139,12 +139,22 @@ def test_search_batcher_coalesces(tmp_path):
                 got = [i["image_path"] for i in images]
                 want = [i["image_path"] for i in direct[q]]
                 assert got == want, q
-            # feedback path bypasses the batcher but must still work
+            # feedback searches ride the batcher too (one [B, m] sel_idx
+            # row each) and must match the direct engine path
             marked = [direct[queries[0]][0]["image_path"]]
-            r = await client.post(
-                "/search", json={"q": queries[0], "referenced_images": marked}
-            )
-            assert r.status == 200
+            direct_fb = engine.search(queries[0], referenced_images=marked)
+
+            async def one_fb(q):
+                r = await client.post(
+                    "/search", json={"q": q, "referenced_images": marked}
+                )
+                assert r.status == 200
+                return (await r.json())["images"]
+
+            fb_results = await asyncio.gather(*[one_fb(queries[0]) for _ in range(6)])
+            want_fb = [i["image_path"] for i in direct_fb]
+            for images in fb_results:
+                assert [i["image_path"] for i in images] == want_fb
         finally:
             await client.close()
 
@@ -153,4 +163,7 @@ def test_search_batcher_coalesces(tmp_path):
 
     # only genuinely coalesced (len>1) batches count: the 8 gathered
     # requests must have produced at least one multi-query batch
-    assert global_metrics.snapshot()["counters"].get("batched_searches", 0) >= 2
+    counters = global_metrics.snapshot()["counters"]
+    assert counters.get("batched_searches", 0) >= 2
+    # the 6 concurrent feedback rounds must have coalesced too
+    assert counters.get("batched_feedback_searches", 0) >= 2
