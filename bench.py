@@ -111,7 +111,9 @@ def bench_query(k: int = 1000):
             t0 = time.perf_counter()
             s = None
             for _ in range(m):
-                s, _ = _search_local(emb, size, q, k, scales)
+                s, _ = _search_local(
+                    (emb,), size, q, k, None if scales is None else (scales,)
+                )
             float(s[0, 0])  # dependent fetch = true sync on tunneled backends
             return (time.perf_counter() - t0) / m
 

@@ -85,7 +85,7 @@ def config1_text_topk(small: bool):
 
     t_embed = _median_time(lambda: embed(params, ids), iters=20)
     q = embed(params, ids).astype(jnp.float32)
-    t_search = _median_time(lambda: _search_local(emb, size, q, 20)[0], iters=20)
+    t_search = _median_time(lambda: _search_local((emb,), size, q, 20)[0], iters=20)
     emit(1, "text_embed+top20@1k",
          text_embed_device_ms=round(t_embed * 1e3, 3),
          search_device_ms=round(t_search * 1e3, 3),
@@ -165,7 +165,7 @@ def config3_feedback_100k(small: bool):
 
     # one fused feedback round: gather + Rocchio average + matmul + top-1000
     t = _median_time(
-        lambda: _feedback_search_local(emb, norms, size, text, sel, 1000)[0],
+        lambda: _feedback_search_local((emb,), (norms,), size, text[None], sel[None], 1000)[0],
         iters=10,
     )
     emit(3, f"rocchio_round@{n}",
@@ -201,7 +201,7 @@ def config4_10m_int8(small: bool):
 
     q = jnp.asarray(np.random.default_rng(1).normal(size=(1, dim)).astype(np.float32))
     size = jnp.asarray(n, jnp.int32)
-    t = _median_time(lambda: _search_local(buf, size, q, k, scl)[0], iters=10)
+    t = _median_time(lambda: _search_local((buf,), size, q, k, (scl,))[0], iters=10)
     emit(4, f"int8_top{k}@{n}",
          corpus=n, query_ms=round(t * 1e3, 3),
          bytes_gb=round(n * dim / 1e9, 2))
@@ -249,7 +249,7 @@ def config5(small: bool):
     q = jnp.asarray(rng.normal(size=(1, dim)).astype(np.float32))
     size = jnp.asarray(n, jnp.int32)
     tq = _median_time(
-        lambda: _search_local(rows, size, q, 100, scales)[0], iters=10
+        lambda: _search_local((rows,), size, q, 100, (scales,))[0], iters=10
     )
     emit(5, f"siglip_embed+int8_top100@{n}",
          model=cfg.name, embed_images_per_sec=round(B / t, 1),

@@ -4,14 +4,14 @@ Replaces the reference's SurrealDB MTREE index and its two query paths:
 
 - KNN query ``SELECT ... WHERE embedding <|1000|> $reference``
   (``server/src/search.rs:70-77``) -> one jitted program: l2-normalize the
-  query, one [B, D] x [D, N] matmul on the MXU, mask invalid rows,
+  query, one [B, D] x [D, N] matmul on the MXU per slab, mask invalid rows,
   ``lax.top_k``. Exact (not approximate like MTREE), and milliseconds
   instead of a WebSocket round-trip.
 - the Rocchio relevance-feedback step (fetch selected embeddings, average
   with the text vector at 1/2 : 1/2k weights, re-search;
   ``search.rs:43-67``) -> fused INTO the same program: gather + average +
-  normalize + matmul + top_k in a single XLA compilation, the north star's
-  "multi-round relevance-feedback as a single fused TPU step".
+  normalize + matmul + top_k in a single XLA compilation, batched over B
+  concurrent requests ([B, m] selection matrix).
 
 Storage layout: rows are kept l2-NORMALIZED (cosine == dot product) next to
 their original norms, so the raw vectors the reference stores
@@ -28,11 +28,18 @@ Quantization (BASELINE config #5): ``quantize=`` selects the row format —
                less HBM traffic, not compute rate (docs/PERF_NOTES.md
                round-2 int8 study).
 
-Capacity is bucketed (powers of two) and rows are appended on-device with
-donated ``dynamic_update_slice`` blocks, so ingest never recompiles per
-batch and never reuploads the corpus.
+**Slab storage (10M-scale hardening).** Rows live in a list of fixed-size
+device SLABS instead of one doubling buffer. The first slab doubles up to
+``slab_rows`` (small corpora stay cheap); after that, growth allocates ONE
+new full slab and copies nothing — the old design's grow-by-copy held
+old+new simultaneously (a ~2x transient that approaches the 16 GB HBM limit
+at 10M int8 rows, and an OOM can wedge the TPU tunnel, CLAUDE.md).
+``capacity=`` (the ``--index-capacity`` flag) preallocates all slabs so
+ingest never allocates at all. Appends write donated-free
+``dynamic_update_slice`` blocks into the tail slab, so ingest never
+recompiles per batch and never reuploads the corpus.
 
-Multi-chip: pass a ``Mesh`` and rows shard across the data axis;
+Multi-chip: pass a ``Mesh`` and every slab shards across the data axis;
 queries run through ``parallel.sharded_search.sharded_topk`` (per-shard
 top-k + allgather merge over ICI).
 """
@@ -42,7 +49,7 @@ from __future__ import annotations
 import logging
 import threading
 from functools import lru_cache, partial
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,15 +64,9 @@ log = logging.getLogger(__name__)
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 _UPDATE_BLOCK = 4096  # rows per on-device append slice
+DEFAULT_SLAB_ROWS = 1 << 20  # rows per full slab (int8 x 768 = 0.77 GB)
 
 QUANT_DTYPES = {None: jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
-
-
-def _next_capacity(n: int, multiple: int) -> int:
-    cap = multiple
-    while cap < n:
-        cap *= 2
-    return cap
 
 
 def _l2(x: jax.Array) -> jax.Array:
@@ -76,7 +77,7 @@ def _l2(x: jax.Array) -> jax.Array:
 # --- jitted kernels (module-level so caches are shared across instances) ---
 
 
-# NB: deliberately NOT donated — concurrent searches snapshot the buffer
+# NB: deliberately NOT donated — concurrent searches snapshot the slab
 # references and run outside the index lock; donation would invalidate a
 # snapshot mid-flight ("Array has been deleted"). The copy costs one
 # _UPDATE_BLOCK row-slab per append and the old buffer frees as soon as the
@@ -91,34 +92,61 @@ def _grow(new_buf: jax.Array, old_buf: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
 
 
-def _dequant_rows(emb, scales, idx):
-    """Gather rows back to f32 normalized space."""
-    rows = emb[idx]
-    if emb.dtype == jnp.int8:
-        return rows.astype(jnp.float32) * scales[idx][:, None]
-    return rows.astype(jnp.float32)
+def _gather_rows(slabs, scales, idx):
+    """Gather global rows [m] from the slab list -> [m, D] f32 normalized."""
+    D = slabs[0].shape[1]
+    out = jnp.zeros((idx.shape[0], D), jnp.float32)
+    start = 0
+    for i, slab in enumerate(slabs):
+        n = slab.shape[0]
+        off = jnp.clip(idx - start, 0, n - 1)
+        rows = slab[off].astype(jnp.float32)
+        if slab.dtype == jnp.int8:
+            rows = rows * scales[i][off][:, None]
+        in_slab = (idx >= start) & (idx < start + n)
+        out = jnp.where(in_slab[:, None], rows, out)
+        start += n
+    return out
 
 
-def _rocchio_query(emb, scales, norms, text_emb, sel_idx):
+def _gather_1d(slabs, idx):
+    """Gather a slabbed 1-D quantity (norms) at global idx [m] -> [m] f32."""
+    out = jnp.zeros((idx.shape[0],), jnp.float32)
+    start = 0
+    for vec in slabs:
+        n = vec.shape[0]
+        off = jnp.clip(idx - start, 0, n - 1)
+        in_slab = (idx >= start) & (idx < start + n)
+        out = jnp.where(in_slab, vec[off].astype(jnp.float32), out)
+        start += n
+    return out
+
+
+def _rocchio_query(slabs, scales, norms, text_emb, sel_idx):
     """Reference Rocchio weighting (search.rs:60-67), in raw-vector space:
     query = average( average(selected_raw), text_raw )."""
     mask = (sel_idx >= 0).astype(jnp.float32)
     idx = jnp.maximum(sel_idx, 0)
-    raw = _dequant_rows(emb, scales, idx) * norms[idx][:, None]
+    raw = _gather_rows(slabs, scales, idx) * _gather_1d(norms, idx)[:, None]
     raw = raw * mask[:, None]
     sel_avg = raw.sum(axis=0) / jnp.maximum(mask.sum(), 1.0)
     return (sel_avg + text_emb.astype(jnp.float32)) * 0.5
 
 
-def _valid_mask(n: int, size):
-    return jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < size
-
-
 @partial(jax.jit, static_argnames=("k", "approx"))
-def _search_local(emb, size, queries, k: int, scales=None, approx: bool = False):
+def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = False):
+    """Exact/approx cosine top-k over the slab list; global row ids are the
+    concatenation order (slabs hold contiguous row ranges)."""
     q = _l2(queries.astype(jnp.float32))
-    scores = shard_scores(emb, q, scales)
-    scores = jnp.where(_valid_mask(emb.shape[0], size)[None, :], scores, NEG_INF)
+    parts = []
+    start = 0
+    for i, slab in enumerate(slabs):
+        s = shard_scores(slab, q, None if scales is None else scales[i])
+        n = slab.shape[0]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
+        parts.append(jnp.where(valid[None, :], s, NEG_INF))
+        start += n
+    scores = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if approx:
         # TPU-optimized partial reduction (recall >= 0.95 by construction);
         # still stronger than the reference's approximate MTREE index.
@@ -128,7 +156,7 @@ def _search_local(emb, size, queries, k: int, scales=None, approx: bool = False)
 
 @partial(jax.jit, static_argnames=("k", "approx"))
 def _feedback_search_local(
-    emb, norms, size, text_emb, sel_idx, k: int, scales=None, approx: bool = False
+    slabs, norms, size, text_emb, sel_idx, k: int, scales=None, approx: bool = False
 ):
     """Batched fused Rocchio search: text_emb [B, D], sel_idx [B, m].
 
@@ -137,19 +165,17 @@ def _feedback_search_local(
     cancels it exactly) — concurrent plain and feedback searches can
     therefore coalesce into one device program."""
     q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
-        emb, scales, norms, text_emb, sel_idx
+        slabs, scales, norms, text_emb, sel_idx
     )
-    return _search_local(emb, size, q, k, scales, approx)
+    return _search_local(slabs, size, q, k, scales, approx)
 
 
 @lru_cache(maxsize=64)
 def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
-    def fn(emb, size, queries, scales=None):
+    def fn(slabs, size, queries, scales=None):
         q = _l2(queries.astype(jnp.float32))
-        return sharded_topk(
-            emb, _valid_mask(emb.shape[0], size), q, k, mesh, scales, approx
-        )
+        return sharded_topk(slabs, size, q, k, mesh, scales, approx)
 
     return fn
 
@@ -157,20 +183,18 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 @lru_cache(maxsize=64)
 def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
-    def fn(emb, norms, size, text_emb, sel_idx, scales=None):
+    def fn(slabs, norms, size, text_emb, sel_idx, scales=None):
         q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
-            emb, scales, norms, text_emb, sel_idx
+            slabs, scales, norms, text_emb, sel_idx
         )
         qn = _l2(q)
-        return sharded_topk(
-            emb, _valid_mask(emb.shape[0], size), qn, k, mesh, scales, approx
-        )
+        return sharded_topk(slabs, size, qn, k, mesh, scales, approx)
 
     return fn
 
 
 class VectorIndex:
-    """Exact cosine top-k index resident in device HBM."""
+    """Exact cosine top-k index resident in device HBM (slab storage)."""
 
     def __init__(
         self,
@@ -179,6 +203,8 @@ class VectorIndex:
         min_capacity: int = 8192,
         store: Optional[EmbeddingStore] = None,
         quantize: Optional[str] = None,
+        slab_rows: int = DEFAULT_SLAB_ROWS,
+        capacity: Optional[int] = None,
     ):
         if quantize not in QUANT_DTYPES:
             raise ValueError(f"quantize must be one of {list(QUANT_DTYPES)}")
@@ -188,19 +214,42 @@ class VectorIndex:
         self.quantize = quantize
         self._row_dtype = QUANT_DTYPES[quantize]
         self._n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
-        self._cap_multiple = max(min_capacity, self._n_shards * _UPDATE_BLOCK)
+        # the allocation granule: a multiple of BOTH the append block (so
+        # 4096-aligned blocks never straddle a slab boundary) and the shard
+        # count (so every slab splits evenly over the mesh data axis)
+        granule = self._n_shards * _UPDATE_BLOCK
+        self._cap_multiple = (
+            (max(min_capacity, granule) + granule - 1) // granule
+        ) * granule
+        # slabs must be whole multiples of the block/shard granule
+        self._slab_rows = max(
+            self._cap_multiple,
+            ((slab_rows + self._cap_multiple - 1) // self._cap_multiple)
+            * self._cap_multiple,
+        )
         self._paths: List[str] = []
         self._row: dict[str, int] = {}
         self._size = 0
-        # mutation lock: guards metadata (_paths/_row/_size) and buffer
-        # swaps. Queries only hold it long enough to SNAPSHOT the buffer
+        # host mirror of the tail slab's last PARTIAL block: appends restage
+        # it so every device write is one full block (blocks are globally
+        # 4096-aligned and never straddle a slab boundary)
+        self._tail_emb = np.zeros((0, dim), np.dtype(self._row_dtype))
+        self._tail_norms = np.zeros((0,), np.float32)
+        self._tail_scales = np.zeros((0,), np.float32)
+        # mutation lock: guards metadata (_paths/_row/_size) and slab
+        # swaps. Queries only hold it long enough to SNAPSHOT the slab
         # references + size, then dispatch outside it — appends build new
         # buffers (no donation) so a snapshot stays valid concurrently.
         self._lock = threading.RLock()
-        cap = self._cap_multiple
-        self._emb = self._device_zeros((cap, dim), self._row_dtype)
-        self._norms = self._device_zeros((cap,))
-        self._scales = self._device_zeros((cap,)) if quantize == "int8" else None
+        self._emb_slabs: List[jax.Array] = []
+        self._norm_slabs: List[jax.Array] = []
+        self._scale_slabs: Optional[List[jax.Array]] = (
+            [] if quantize == "int8" else None
+        )
+        if capacity is not None:
+            self._preallocate(capacity)
+        else:
+            self._append_slab(self._cap_multiple)
         if store is not None and len(store):
             for paths, emb in store.iter_shards():
                 self._add_in_memory(paths, emb)
@@ -218,14 +267,35 @@ class VectorIndex:
         sh = self._sharding(len(shape))
         return jax.device_put(z, sh) if sh is not None else z
 
+    def _append_slab(self, rows: int) -> None:
+        self._emb_slabs.append(self._device_zeros((rows, self.dim), self._row_dtype))
+        self._norm_slabs.append(self._device_zeros((rows,)))
+        if self._scale_slabs is not None:
+            self._scale_slabs.append(self._device_zeros((rows,)))
+
+    def _preallocate(self, capacity: int) -> None:
+        """--index-capacity: allocate all slabs upfront — ingest performs
+        ZERO device allocations (OOM-at-10M / tunnel-wedge hardening)."""
+        remaining = max(capacity, 1)
+        while remaining > 0:
+            rows = min(self._slab_rows, max(remaining, self._cap_multiple))
+            rows = ((rows + self._cap_multiple - 1) // self._cap_multiple) * self._cap_multiple
+            self._append_slab(rows)
+            remaining -= rows
+        log.info(
+            "index preallocated: %d slabs x <=%d rows (%d total)",
+            len(self._emb_slabs), self._slab_rows, self.capacity,
+        )
+
     @classmethod
     def from_store(
         cls,
         store: EmbeddingStore,
         mesh: Optional[Mesh] = None,
         quantize: Optional[str] = None,
+        **kwargs,
     ) -> "VectorIndex":
-        return cls(store.dim, mesh=mesh, store=store, quantize=quantize)
+        return cls(store.dim, mesh=mesh, store=store, quantize=quantize, **kwargs)
 
     # -- mutation -------------------------------------------------------------
 
@@ -236,16 +306,45 @@ class VectorIndex:
     def paths(self) -> List[str]:
         return self._paths
 
+    @property
+    def capacity(self) -> int:
+        return sum(s.shape[0] for s in self._emb_slabs)
+
+    def device_bytes(self) -> int:
+        """Live device bytes across all slabs (memory-hardening tests)."""
+        total = sum(s.size * s.dtype.itemsize for s in self._emb_slabs)
+        total += sum(s.size * 4 for s in self._norm_slabs)
+        if self._scale_slabs is not None:
+            total += sum(s.size * 4 for s in self._scale_slabs)
+        return total
+
     def _ensure_capacity(self, n: int) -> None:
-        cap = self._emb.shape[0]
-        if n <= cap:
-            return
-        new_cap = _next_capacity(n, self._cap_multiple)
-        self._emb = _grow(self._device_zeros((new_cap, self.dim), self._row_dtype), self._emb)
-        self._norms = _grow(self._device_zeros((new_cap,)), self._norms)
-        if self._scales is not None:
-            self._scales = _grow(self._device_zeros((new_cap,)), self._scales)
-        log.info("index capacity grown to %d", new_cap)
+        while self.capacity < n:
+            last = self._emb_slabs[-1].shape[0]
+            if last < self._slab_rows:
+                # the FIRST slab doubles up to slab_rows (small corpora pay
+                # small transients); the copy holds old+new, both <= 1 slab
+                new_rows = min(self._slab_rows, last * 2)
+                self._emb_slabs[-1] = _grow(
+                    self._device_zeros((new_rows, self.dim), self._row_dtype),
+                    self._emb_slabs[-1],
+                )
+                self._norm_slabs[-1] = _grow(
+                    self._device_zeros((new_rows,)), self._norm_slabs[-1]
+                )
+                if self._scale_slabs is not None:
+                    self._scale_slabs[-1] = _grow(
+                        self._device_zeros((new_rows,)), self._scale_slabs[-1]
+                    )
+                log.info("index tail slab grown to %d rows", new_rows)
+            else:
+                # beyond one full slab: allocate a fresh slab, copy NOTHING —
+                # the transient is the new slab itself, never 2x the corpus
+                self._append_slab(self._slab_rows)
+                log.info(
+                    "index slab %d allocated (%d rows capacity)",
+                    len(self._emb_slabs), self.capacity,
+                )
 
     def _quantize_host(self, normalized: np.ndarray):
         if self.quantize == "int8":
@@ -254,8 +353,18 @@ class VectorIndex:
             q = np.clip(np.round(normalized / scale[:, None]), -127, 127).astype(np.int8)
             return q, scale.astype(np.float32)
         if self.quantize == "bfloat16":
-            return jnp.asarray(normalized).astype(jnp.bfloat16), None
+            return np.asarray(jnp.asarray(normalized).astype(jnp.bfloat16)), None
         return normalized, None
+
+    def _locate(self, gpos: int) -> Tuple[int, int]:
+        """Global row position -> (slab index, slab-local offset)."""
+        start = 0
+        for i, slab in enumerate(self._emb_slabs):
+            n = slab.shape[0]
+            if gpos < start + n:
+                return i, gpos - start
+            start += n
+        raise IndexError(gpos)
 
     def _add_in_memory(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
         with self._lock:
@@ -279,33 +388,56 @@ class VectorIndex:
             paths = [paths[i] for i in keep]
             embeddings = embeddings[keep]
         n = len(paths)
-        # appends write FULL _UPDATE_BLOCK slices at self._size + off, so
-        # capacity must cover the last block's whole extent —
-        # dynamic_update_slice CLAMPS an out-of-bounds start instead of
-        # erroring, which would silently overwrite earlier rows
-        blocks = (n + _UPDATE_BLOCK - 1) // _UPDATE_BLOCK
-        self._ensure_capacity(self._size + blocks * _UPDATE_BLOCK)
 
         norms = np.linalg.norm(embeddings, axis=1)
         normalized = embeddings / np.maximum(norms, 1e-12)[:, None]
         rows, scales = self._quantize_host(normalized)
         rows = np.asarray(rows)
 
+        # restage the tail partial block so every device write is one FULL
+        # 4096-aligned block (dynamic_update_slice CLAMPS an out-of-bounds
+        # start instead of erroring — full in-bounds blocks sidestep that)
+        tail_len = len(self._tail_emb)
+        data_emb = np.concatenate([self._tail_emb, rows]) if tail_len else rows
+        data_norms = np.concatenate([self._tail_norms, norms.astype(np.float32)]) if tail_len else norms.astype(np.float32)
+        if self._scale_slabs is not None:
+            data_scales = (
+                np.concatenate([self._tail_scales, scales]) if tail_len else scales
+            )
+        pos = self._size - tail_len  # multiple of _UPDATE_BLOCK
+        total = len(data_emb)
+        self._ensure_capacity(pos + ((total + _UPDATE_BLOCK - 1) // _UPDATE_BLOCK) * _UPDATE_BLOCK)
+
         off = 0
-        while off < n:
-            m = min(_UPDATE_BLOCK, n - off)
+        while off < total:
+            m = min(_UPDATE_BLOCK, total - off)
+            slab_i, local = self._locate(pos + off)
             blk = np.zeros((_UPDATE_BLOCK, self.dim), rows.dtype)
-            blk[:m] = rows[off : off + m]
+            blk[:m] = data_emb[off : off + m]
             nrm = np.zeros((_UPDATE_BLOCK,), np.float32)
-            nrm[:m] = norms[off : off + m]
-            pos = jnp.asarray(self._size + off, jnp.int32)
-            self._emb = _write_block(self._emb, jnp.asarray(blk), pos)
-            self._norms = _write_block(self._norms, jnp.asarray(nrm), pos)
-            if self._scales is not None:
+            nrm[:m] = data_norms[off : off + m]
+            loc = jnp.asarray(local, jnp.int32)
+            self._emb_slabs[slab_i] = _write_block(
+                self._emb_slabs[slab_i], jnp.asarray(blk), loc
+            )
+            self._norm_slabs[slab_i] = _write_block(
+                self._norm_slabs[slab_i], jnp.asarray(nrm), loc
+            )
+            if self._scale_slabs is not None:
                 scl = np.zeros((_UPDATE_BLOCK,), np.float32)
-                scl[:m] = scales[off : off + m]
-                self._scales = _write_block(self._scales, jnp.asarray(scl), pos)
+                scl[:m] = data_scales[off : off + m]
+                self._scale_slabs[slab_i] = _write_block(
+                    self._scale_slabs[slab_i], jnp.asarray(scl), loc
+                )
             off += m
+
+        new_tail = (self._size + n) % _UPDATE_BLOCK
+        self._tail_emb = data_emb[total - new_tail :].copy() if new_tail else data_emb[:0]
+        self._tail_norms = data_norms[total - new_tail :].copy() if new_tail else data_norms[:0]
+        if self._scale_slabs is not None:
+            self._tail_scales = (
+                data_scales[total - new_tail :].copy() if new_tail else data_scales[:0]
+            )
 
         for i, p in enumerate(paths):
             self._row[p] = self._size + i
@@ -329,6 +461,14 @@ class VectorIndex:
         # for small corpora because the DB clamps — we clamp likewise.
         return max(1, min(k, self._size if self._size else 1))
 
+    def _snapshot(self):
+        """Caller must hold the lock: immutable references for lock-free compute."""
+        return (
+            tuple(self._emb_slabs),
+            tuple(self._norm_slabs),
+            None if self._scale_slabs is None else tuple(self._scale_slabs),
+        )
+
     def search(self, queries: np.ndarray, k: int = 1000, approx: bool = False):
         """Raw query vectors [B, D] (or [D]) -> (scores [B,k], indices [B,k]).
 
@@ -341,12 +481,12 @@ class VectorIndex:
                 B = int(q.shape[0])
                 return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
             k = self._clamp_k(k)
-            emb, scales = self._emb, self._scales
+            slabs, _, scales = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         if self.mesh is None:
-            s, i = _search_local(emb, size, q, k, scales, approx)
+            s, i = _search_local(slabs, size, q, k, scales, approx)
         else:
-            s, i = _sharded_search_fn(self.mesh, k, approx)(emb, size, q, scales)
+            s, i = _sharded_search_fn(self.mesh, k, approx)(slabs, size, q, scales)
         return np.asarray(s), np.asarray(i)
 
     def search_with_feedback(
@@ -399,7 +539,7 @@ class VectorIndex:
                 [self._row[p] for p in sel if p in self._row]
                 for sel in selected_paths_list
             ]
-            emb, norms, scales = self._emb, self._norms, self._scales
+            slabs, norms, scales = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         # pad selections and batch to pow2 buckets to bound jit variants
         m = 8
@@ -416,11 +556,11 @@ class VectorIndex:
         text_j, sel_j = jnp.asarray(text_pad), jnp.asarray(sel)
         if self.mesh is None:
             s, i = _feedback_search_local(
-                emb, norms, size, text_j, sel_j, k, scales, approx
+                slabs, norms, size, text_j, sel_j, k, scales, approx
             )
         else:
             s, i = _sharded_feedback_fn(self.mesh, k, approx)(
-                emb, norms, size, text_j, sel_j, scales
+                slabs, norms, size, text_j, sel_j, scales
             )
         return np.asarray(s)[:B], np.asarray(i)[:B]
 
@@ -438,7 +578,7 @@ class VectorIndex:
             rows = [self._row[p] for p in paths if p in self._row]
             if not rows:
                 return np.zeros((0, self.dim), np.float32)
-            emb, norms, scales = self._emb, self._norms, self._scales
+            slabs, norms, scales = self._snapshot()
         idx = jnp.asarray(np.asarray(rows))
-        raw = _dequant_rows(emb, scales, idx) * norms[idx][:, None]
+        raw = _gather_rows(slabs, scales, idx) * _gather_1d(norms, idx)[:, None]
         return np.asarray(raw)

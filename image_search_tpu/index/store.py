@@ -1,30 +1,49 @@
-"""On-disk embedding store: append-only shards + JSON manifest.
+"""On-disk embedding store: sealed segments + one appendable active segment.
 
 Replaces the reference's external SurrealDB instance (`image` table
 ``{id, image_path, embedding}`` with an MTREE index,
 ``/root/reference/server/src/clip.rs:135-143``) with plain files:
 
-- ``shard_NNNNN.npy``  — float32 [n, dim] raw (unnormalized) embeddings,
-  exactly what the model produced (the reference also stores unnormalized
-  vectors, ``clip.rs:124``)
-- ``shard_NNNNN.paths.json`` — the image paths for those rows
-- ``manifest.json`` — dim + shard list, written atomically last, so an
-  interrupted ingest resumes at the last complete flush (SURVEY.md §5's
-  checkpoint/resume requirement)
+- ``seg_NNNNN.bin``   — raw little-endian float32 [n, dim] rows, exactly what
+  the model produced (the reference also stores unnormalized vectors,
+  ``clip.rs:124``). The ACTIVE segment is appended in place.
+- ``seg_NNNNN.paths`` — JSON-lines: one JSON-encoded image path per row
+  (handles any filename byte, appended in lockstep with the .bin)
+- ``manifest.json``   — dim + SEALED segment list + active segment name,
+  written atomically and ONLY when a segment seals — appends are O(rows
+  appended), not O(corpus), unlike a rewrite-the-manifest-per-append design.
 
-Dedup-on-ingest mirrors the reference's per-chunk
-``SELECT image_path ... WHERE image_path IN $paths`` (clip.rs:74-87) via the
-in-memory path set.
+10M-scale behavior (VERDICT round-1 hardening): chunk-500 ingest appends
+into the active segment until it reaches ``seg_rows`` (default 131072), then
+seals it — a 10M corpus is ~77 files, not 20k one-per-append shards. Paths
+are NOT kept in RAM here (the index owns the path list); only a dedup set
+survives in memory.
+
+Crash safety: rows hit the .bin before their path lines; on open, the active
+segment's row count is min(bin rows, path lines) and both files are
+truncated to agree — an interrupted ingest resumes at the last complete row
+(SURVEY.md §5's checkpoint/resume requirement). Dedup-on-ingest mirrors the
+reference's per-chunk ``SELECT image_path ... WHERE image_path IN $paths``
+(clip.rs:74-87) via the in-memory path set.
+
+Version-1 stores (one ``shard_NNNNN.npy`` per append) load transparently:
+their shards become sealed read-only segments and new data lands in a
+version-2 active segment.
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 import tempfile
 from typing import Iterator, List, Sequence, Set, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
+
+DEFAULT_SEG_ROWS = 131072
 
 
 class EmbeddingStore:
@@ -32,50 +51,143 @@ class EmbeddingStore:
 
     MANIFEST = "manifest.json"
 
-    def __init__(self, directory: str, dim: int):
+    def __init__(self, directory: str, dim: int, seg_rows: int = DEFAULT_SEG_ROWS):
         self.directory = directory
         self.dim = dim
-        self._shards: List[str] = []
-        self._paths: List[str] = []
+        self.seg_rows = seg_rows
+        self._row_bytes = dim * 4
+        # sealed segments: (name, rows, format) where format is "bin" | "npy"
+        self._sealed: List[Tuple[str, int, str]] = []
+        self._active: str = ""
+        self._active_rows = 0
+        self._rows = 0
         self._path_set: Set[str] = set()
         os.makedirs(directory, exist_ok=True)
-        self._load_manifest()
+        self._load()
 
     # -- persistence --------------------------------------------------------
+
+    def _file(self, name: str, ext: str) -> str:
+        return os.path.join(self.directory, name + ext)
 
     def _manifest_path(self) -> str:
         return os.path.join(self.directory, self.MANIFEST)
 
-    def _load_manifest(self) -> None:
+    def _load(self) -> None:
         mp = self._manifest_path()
-        if not os.path.exists(mp):
-            return
-        with open(mp) as f:
-            m = json.load(f)
-        if m["dim"] != self.dim:
-            raise ValueError(f"store dim {m['dim']} != requested {self.dim}")
-        self._shards = list(m["shards"])
-        for shard in self._shards:
-            with open(os.path.join(self.directory, shard + ".paths.json")) as f:
-                paths = json.load(f)
-            self._paths.extend(paths)
-            self._path_set.update(paths)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            if m["dim"] != self.dim:
+                raise ValueError(f"store dim {m['dim']} != requested {self.dim}")
+            if m.get("version", 1) == 1:
+                # v1: every shard is a sealed npy segment
+                for shard in m["shards"]:
+                    paths = self._read_paths_v1(shard)
+                    self._sealed.append((shard, len(paths), "npy"))
+                    self._path_set.update(paths)
+                    self._rows += len(paths)
+                self._start_active(len(m["shards"]))
+                return
+            for seg in m["sealed"]:
+                self._sealed.append((seg["name"], seg["rows"], seg.get("format", "bin")))
+                self._path_set.update(self._read_seg_paths(self._sealed[-1]))
+                self._rows += seg["rows"]
+            self._active = m["active"]
+            self._recover_active()
+        else:
+            self._start_active(0)
+
+    def _start_active(self, index_hint: int) -> None:
+        n = index_hint
+        existing = {name for name, _, _ in self._sealed}
+        while f"seg_{n:05d}" in existing or os.path.exists(self._file(f"seg_{n:05d}", ".bin")):
+            n += 1
+        self._active = f"seg_{n:05d}"
+        self._active_rows = 0
+        open(self._file(self._active, ".bin"), "ab").close()
+        open(self._file(self._active, ".paths"), "ab").close()
+        self._write_manifest()
+
+    def _recover_active(self) -> None:
+        """Reconcile the active segment after a crash: keep min(bin rows,
+        path lines) complete rows, truncate both files to agree."""
+        bin_path = self._file(self._active, ".bin")
+        paths_path = self._file(self._active, ".paths")
+        bin_rows = (
+            os.path.getsize(bin_path) // self._row_bytes if os.path.exists(bin_path) else 0
+        )
+        lines: List[str] = []
+        if os.path.exists(paths_path):
+            with open(paths_path, "rb") as f:
+                raw = f.read()
+            for ln in raw.split(b"\n"):
+                if not ln:
+                    continue
+                try:
+                    lines.append(json.loads(ln))
+                except ValueError:
+                    break  # torn final line
+        rows = min(bin_rows, len(lines))
+        if rows != bin_rows or rows != len(lines):
+            log.warning(
+                "store: recovering active segment %s to %d rows (bin=%d, paths=%d)",
+                self._active, rows, bin_rows, len(lines),
+            )
+        with open(bin_path, "ab") as f:
+            f.truncate(rows * self._row_bytes)
+        with open(paths_path, "w") as f:
+            for p in lines[:rows]:
+                f.write(json.dumps(p) + "\n")
+        self._active_rows = rows
+        self._rows += rows
+        self._path_set.update(lines[:rows])
 
     def _write_manifest(self) -> None:
-        data = json.dumps({"dim": self.dim, "version": 1, "shards": self._shards})
+        data = json.dumps(
+            {
+                "dim": self.dim,
+                "version": 2,
+                "sealed": [
+                    {"name": n, "rows": r, "format": fmt} for n, r, fmt in self._sealed
+                ],
+                "active": self._active,
+            }
+        )
         fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    def _read_paths_v1(self, shard: str) -> List[str]:
+        with open(os.path.join(self.directory, shard + ".paths.json")) as f:
+            return json.load(f)
+
+    def _read_seg_paths(self, seg: Tuple[str, int, str]) -> List[str]:
+        name, rows, fmt = seg
+        if fmt == "npy":
+            return self._read_paths_v1(name)
+        out: List[str] = []
+        with open(self._file(name, ".paths"), "rb") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    out.append(json.loads(ln))
+        return out[:rows]
+
+    def _read_seg_rows(self, seg: Tuple[str, int, str]) -> np.ndarray:
+        name, rows, fmt = seg
+        if fmt == "npy":
+            return np.load(os.path.join(self.directory, name + ".npy"))
+        data = np.fromfile(self._file(name, ".bin"), dtype="<f4", count=rows * self.dim)
+        return data.reshape(-1, self.dim)
 
     # -- API ----------------------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self._paths)
-
-    @property
-    def paths(self) -> List[str]:
-        return self._paths
+        return self._rows
 
     def existing(self, paths: Sequence[str]) -> Set[str]:
         """Which of `paths` are already stored (the clip.rs:74-87 dedup)."""
@@ -89,31 +201,55 @@ class EmbeddingStore:
         embeddings = np.asarray(embeddings, np.float32)
         assert embeddings.ndim == 2 and embeddings.shape[1] == self.dim, embeddings.shape
         assert len(paths) == embeddings.shape[0], (len(paths), embeddings.shape)
-        keep = [i for i, p in enumerate(paths) if p not in self._path_set]
+        seen: Set[str] = set()
+        keep = []
+        for i, p in enumerate(paths):
+            if p in self._path_set or p in seen:
+                continue
+            seen.add(p)
+            keep.append(i)
         if not keep:
             return 0
         paths = [paths[i] for i in keep]
-        embeddings = embeddings[keep]
+        embeddings = np.ascontiguousarray(embeddings[keep], dtype="<f4")
 
-        shard = f"shard_{len(self._shards):05d}"
-        np.save(os.path.join(self.directory, shard + ".npy"), embeddings)
-        with open(os.path.join(self.directory, shard + ".paths.json"), "w") as f:
-            json.dump(list(paths), f)
-        self._shards.append(shard)
-        self._paths.extend(paths)
+        # rows first, then their paths: recovery keeps min(bin, paths)
+        with open(self._file(self._active, ".bin"), "ab") as f:
+            f.write(embeddings.tobytes())
+            f.flush()
+        with open(self._file(self._active, ".paths"), "a") as f:
+            for p in paths:
+                f.write(json.dumps(p) + "\n")
+            f.flush()
+        self._active_rows += len(paths)
+        self._rows += len(paths)
         self._path_set.update(paths)
-        self._write_manifest()
+        if self._active_rows >= self.seg_rows:
+            self._seal_active()
         return len(paths)
 
+    def _seal_active(self) -> None:
+        for ext in (".bin", ".paths"):
+            with open(self._file(self._active, ext), "ab") as f:
+                os.fsync(f.fileno())
+        self._sealed.append((self._active, self._active_rows, "bin"))
+        log.info("store: sealed %s (%d rows)", self._active, self._active_rows)
+        self._start_active(len(self._sealed))
+
     def iter_shards(self) -> Iterator[Tuple[List[str], np.ndarray]]:
-        for shard in self._shards:
-            emb = np.load(os.path.join(self.directory, shard + ".npy"))
-            with open(os.path.join(self.directory, shard + ".paths.json")) as f:
-                paths = json.load(f)
-            yield paths, emb
+        """Stream (paths, [n, dim] f32 rows) per segment — bounded memory."""
+        for seg in self._sealed:
+            yield self._read_seg_paths(seg), self._read_seg_rows(seg)
+        if self._active_rows:
+            seg = (self._active, self._active_rows, "bin")
+            yield self._read_seg_paths(seg), self._read_seg_rows(seg)
 
     def load_all(self) -> Tuple[List[str], np.ndarray]:
-        if not self._shards:
+        paths: List[str] = []
+        chunks: List[np.ndarray] = []
+        for p, e in self.iter_shards():
+            paths.extend(p)
+            chunks.append(e)
+        if not chunks:
             return [], np.zeros((0, self.dim), np.float32)
-        chunks = [emb for _, emb in self.iter_shards()]
-        return list(self._paths), np.concatenate(chunks, axis=0)
+        return paths, np.concatenate(chunks, axis=0)

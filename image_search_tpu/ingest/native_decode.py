@@ -1,4 +1,9 @@
-"""ctypes bindings for the native (C++/libjpeg/libpng) decoder.
+"""ctypes bindings for the native (C++) decoder.
+
+Covers the reference's FULL extension whitelist natively (clip.rs:63-64):
+JPEG/PNG (libjpeg/libpng), WebP (libwebp), TIFF (libtiff), GIF/BMP
+(from-scratch decoders in native/codecs_extra.cpp) — no format drops to the
+GIL-bound PIL path on a healthy build.
 
 Loads ``_native_decoder.so`` (built by ``make -C native``) and exposes
 ``decode_bytes`` with the same contract as the PIL path in ``decode.py``.
@@ -22,6 +27,10 @@ _LIB_NAME = "_native_decoder.so"
 
 FMT_JPEG = 1
 FMT_PNG = 2
+FMT_WEBP = 3
+FMT_GIF = 4
+FMT_BMP = 5
+FMT_TIFF = 6
 
 
 def _load():

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -53,31 +54,37 @@ def shard_scores(emb_l: jax.Array, q: jax.Array, scales_l: Optional[jax.Array]):
 
 
 def sharded_topk(
-    emb: jax.Array,  # [N, D] rows (f32/bf16 normalized, or int8), P(data, None)
-    valid: jax.Array,  # [N] bool, sharded P(data)
+    slabs,  # tuple of [N_b, D] row slabs (f32/bf16 normalized, or int8), each P(data, None)
+    size,  # scalar int32: #valid rows (rows at global id >= size are masked)
     queries: jax.Array,  # [B, D] l2-normalized f32, replicated
     k: int,
     mesh: Mesh,
-    scales: Optional[jax.Array] = None,  # [N] f32 for int8 rows, P(data)
+    scales=None,  # tuple of [N_b] f32 for int8 rows, each P(data)
     approx: bool = False,  # per-shard approx_max_k (recall 0.95) instead of top_k
 ):
-    """Exact cosine top-k over a row-sharded corpus.
+    """Exact cosine top-k over a row-sharded slabbed corpus.
 
     Returns (scores [B, k], global_indices [B, k]) replicated on every
-    device. Exactness: global top-k rows of the full matrix are a subset of
-    the union of per-shard top-k candidates, so the merge loses nothing.
+    device. Global row ids follow the slab concatenation order (slab b's
+    rows span [sum_{c<b} N_c, sum_{c<=b} N_c); within a slab, shard s owns
+    the contiguous range [s*N_b/S, (s+1)*N_b/S)). Exactness: global top-k
+    rows of the full matrix are a subset of the union of per-shard top-k
+    candidates, so the merge loses nothing.
     """
     n_shards = mesh.shape[DATA_AXIS]
-    N = emb.shape[0]
-    assert N % n_shards == 0, (N, n_shards)
-    local_n = N // n_shards
+    slabs = tuple(slabs)
+    slab_rows = [s.shape[0] for s in slabs]
+    for n in slab_rows:
+        assert n % n_shards == 0, (n, n_shards)
+    local_n = sum(slab_rows) // n_shards
     local_k = min(k, local_n)
+    slab_starts = np.concatenate([[0], np.cumsum(slab_rows)])[:-1]
 
-    in_specs = [P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)]
-    args = [emb, valid, queries]
+    in_specs = [tuple(P(DATA_AXIS, None) for _ in slabs), P(), P(None, None)]
+    args = [slabs, size, queries]
     if scales is not None:
-        in_specs.append(P(DATA_AXIS))
-        args.append(scales)
+        in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
+        args.append(tuple(scales))
 
     @partial(
         shard_map,
@@ -86,16 +93,28 @@ def sharded_topk(
         out_specs=(P(None, None), P(None, None)),
         check_rep=False,
     )
-    def _search(emb_l, valid_l, q, *maybe_scales):
+    def _search(slabs_l, size_l, q, *maybe_scales):
         scales_l = maybe_scales[0] if maybe_scales else None
-        scores = shard_scores(emb_l, q, scales_l)
-        scores = jnp.where(valid_l[None, :], scores, NEG_INF)
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        parts, gid_parts = [], []
+        for b, emb_l in enumerate(slabs_l):
+            nb_local = emb_l.shape[0]
+            parts.append(
+                shard_scores(emb_l, q, None if scales_l is None else scales_l[b])
+            )
+            gid_parts.append(
+                int(slab_starts[b])
+                + shard_id * nb_local
+                + jax.lax.broadcasted_iota(jnp.int32, (nb_local,), 0)
+            )
+        scores = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        gids = gid_parts[0] if len(gid_parts) == 1 else jnp.concatenate(gid_parts)
+        scores = jnp.where((gids < size_l)[None, :], scores, NEG_INF)
         if approx and local_k * 4 < local_n:
             s_k, i_k = jax.lax.approx_max_k(scores, local_k, recall_target=0.95)
         else:
             s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
-        shard_id = jax.lax.axis_index(DATA_AXIS)
-        gi_k = i_k + shard_id * local_n  # global row ids
+        gi_k = gids[i_k]  # local candidate -> global row id
 
         # gather the candidate sets from every shard: [S, B, local_k]
         all_s = jax.lax.all_gather(s_k, DATA_AXIS, axis=0)

@@ -22,6 +22,7 @@ class ServerArgs:
     # new (replace --surrealdb-*):
     index_dir: str = "./index"
     index_quantize: Optional[str] = None  # None|bfloat16|int8 row storage
+    index_capacity: Optional[int] = None  # preallocate slabs for N rows
     tokenizer_dir: Optional[str] = None
     model: str = "clip-vit-large-patch14"
     preprocess_mode: str = "hf"
@@ -56,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="embedding store directory (replaces SurrealDB)")
     p.add_argument("--index-quantize", choices=["bfloat16", "int8"], default=d.index_quantize,
                    help="device row storage (int8 fits 10M vectors on one chip)")
+    p.add_argument("--index-capacity", type=int, default=d.index_capacity,
+                   help="preallocate device slabs for this many rows: ingest "
+                        "performs zero device allocations (10M-scale OOM "
+                        "hardening; growth otherwise adds one slab at a time)")
     p.add_argument("--tokenizer-dir", default=d.tokenizer_dir,
                    help="dir with vocab.json+merges.txt (CLIP BPE)")
     p.add_argument("--model", default=d.model,

@@ -77,6 +77,7 @@ class SearchEngine:
             mesh=self.mesh,
             store=store,
             quantize=args.index_quantize,
+            capacity=args.index_capacity,
         )
         log.info(
             "engine ready: model=%s dim=%d corpus=%d devices=%d",

@@ -2,10 +2,12 @@
 //
 // The reference decodes with the native Rust `image` crate under rayon
 // (/root/reference/server/src/clip.rs:94-105). This is the C++ equivalent
-// for the two codecs that dominate photo libraries:
+// covering the reference's full extension whitelist (clip.rs:63-64):
 //   - JPEG via libjpeg, with DCT-domain scaling (scale_denom 1/2,1/4,1/8)
 //     so a 24 MP photo destined for a 224px model is never fully decoded;
-//   - PNG via libpng (RGB/RGBA/gray/palette -> RGB8).
+//   - PNG via libpng (RGB/RGBA/gray/palette -> RGB8);
+//   - WebP/TIFF/GIF/BMP in codecs_extra.cpp (libwebp, libtiff, and
+//     from-scratch GIF-LZW/BMP decoders — no giflib in this image).
 //
 // Exposed as a plain C ABI consumed through ctypes
 // (image_search_tpu/ingest/native_decode.py). Python's ThreadPoolExecutor
@@ -25,6 +27,8 @@
 
 #include <jpeglib.h>
 #include <png.h>
+
+#include "codecs_extra.h"
 
 namespace {
 
@@ -216,6 +220,10 @@ int isx_probe(const uint8_t* data, size_t n, int max_side, int* out_w, int* out_
   if (!data || !out_w || !out_h) return kErrBadArgs;
   if (is_jpeg(data, n)) return jpeg_dims(data, n, max_side, out_w, out_h);
   if (is_png(data, n)) return png_run(data, n, nullptr, 0, 0, out_w, out_h);
+  if (isx::is_webp(data, n)) return isx::webp_probe(data, n, out_w, out_h);
+  if (isx::is_gif(data, n)) return isx::gif_probe(data, n, out_w, out_h);
+  if (isx::is_bmp(data, n)) return isx::bmp_probe(data, n, out_w, out_h);
+  if (isx::is_tiff(data, n)) return isx::tiff_probe(data, n, out_w, out_h);
   return kErrUnknownFormat;
 }
 
@@ -228,9 +236,16 @@ int isx_decode(const uint8_t* data, size_t n, int max_side, uint8_t* out, int w,
     int pw, ph;
     return png_run(data, n, out, w, h, &pw, &ph);
   }
+  if (isx::is_webp(data, n)) return isx::webp_decode(data, n, out, w, h);
+  if (isx::is_gif(data, n)) return isx::gif_decode(data, n, out, w, h);
+  if (isx::is_bmp(data, n)) return isx::bmp_decode(data, n, out, w, h);
+  if (isx::is_tiff(data, n)) return isx::tiff_decode(data, n, out, w, h);
   return kErrUnknownFormat;
 }
 
-const char* isx_version() { return "image_search_tpu native decoder 1.0 (libjpeg+libpng)"; }
+const char* isx_version() {
+  return "image_search_tpu native decoder 2.0 "
+         "(libjpeg+libpng+libwebp+libtiff+own GIF/BMP)";
+}
 
 }  // extern "C"

@@ -351,3 +351,136 @@ def test_sharded_batched_feedback_equals_local(rng, mesh8):
     ss, si = sharded.search_with_feedback_batch(texts, sels, k=10)
     np.testing.assert_array_equal(li, si)
     np.testing.assert_allclose(ls, ss, rtol=1e-5)
+
+
+# --- 10M-scale hardening (scaled-down slabs exercise the same machinery) ---
+
+
+def test_slab_growth_lifecycle(rng):
+    """Growth allocates ONE new slab at a time (never a 2x corpus copy):
+    capacity overhang stays < 2 slabs, search stays exact across slab
+    boundaries, and device bytes equal the slab inventory."""
+    slab = 8192
+    idx = VectorIndex(DIM, min_capacity=4096, slab_rows=slab)
+    all_paths, all_emb = make_data(rng, 30000)
+    peak_overhang = 0
+    for lo in range(0, 30000, 700):  # odd chunk size: blocks straddle adds
+        idx.add(all_paths[lo : lo + 700], all_emb[lo : lo + 700])
+        peak_overhang = max(peak_overhang, idx.capacity - len(idx))
+    assert len(idx) == 30000
+    assert peak_overhang < 2 * slab  # growth granularity, not doubling
+    row_bytes = DIM * 4 + 4  # f32 rows + norms
+    assert idx.device_bytes() == idx.capacity * row_bytes
+    # exactness across 4 slabs, including a feedback query whose selections
+    # span different slabs
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    s, i = idx.search(q, k=25)
+    es, ei = numpy_topk(all_emb, q, 25)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+    sel = [all_paths[3], all_paths[9000], all_paths[25000]]  # 3 slabs
+    fs, fi = idx.search_with_feedback(q[0], sel, k=25)
+    raw_sel = np.stack([all_emb[3], all_emb[9000], all_emb[25000]])
+    rocchio = (raw_sel.mean(axis=0) + q[0]) * 0.5
+    es2, ei2 = numpy_topk(all_emb, rocchio[None], 25)
+    np.testing.assert_array_equal(fi, ei2)
+
+
+def test_preallocated_capacity_never_grows(rng):
+    """--index-capacity: all slabs exist upfront; ingest allocates nothing."""
+    idx = VectorIndex(DIM, slab_rows=8192, capacity=20000)
+    assert idx.capacity >= 20000
+    cap0, n_slabs0 = idx.capacity, len(idx._emb_slabs)
+    paths, emb = make_data(rng, 15000)
+    for lo in range(0, 15000, 500):
+        idx.add(paths[lo : lo + 500], emb[lo : lo + 500])
+    assert (idx.capacity, len(idx._emb_slabs)) == (cap0, n_slabs0)
+    q = rng.normal(size=(1, DIM)).astype(np.float32)
+    s, i = idx.search(q, k=10)
+    es, ei = numpy_topk(emb, q, 10)
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_sharded_slabbed_search_equals_local(rng, mesh8):
+    """Multiple sharded slabs return the single-device result exactly."""
+    local = VectorIndex(DIM, min_capacity=4096, slab_rows=8192)
+    sharded = VectorIndex(DIM, mesh=mesh8, slab_rows=8192 * 8)
+    paths, emb = make_data(rng, 20000)
+    local.add(paths, emb)
+    sharded.add(paths, emb)
+    assert len(local._emb_slabs) > 1  # the point: multi-slab on the mesh path
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    ls, li = local.search(q, k=15)
+    ss, si = sharded.search(q, k=15)
+    np.testing.assert_array_equal(li, si)
+    np.testing.assert_allclose(ls, ss, rtol=1e-5)
+
+
+def test_store_active_segment_appends(tmp_path, rng):
+    """Many small appends share ONE active segment file (no shard-per-append
+    explosion); sealing rolls to a new segment; restart restores everything."""
+    import os
+
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=1000)
+    paths, emb = make_data(rng, 2500)
+    for lo in range(0, 2500, 100):  # 25 appends
+        store.append(paths[lo : lo + 100], emb[lo : lo + 100])
+    bins = [f for f in os.listdir(tmp_path) if f.endswith(".bin")]
+    assert len(bins) <= 4  # 2 sealed + active (+1 slack), NOT 25 shards
+    assert len(store) == 2500
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=1000)
+    got_paths, got_emb = store2.load_all()
+    assert got_paths == paths
+    np.testing.assert_allclose(got_emb, emb, rtol=1e-6)
+
+
+def test_store_crash_recovery(tmp_path, rng):
+    """A torn append (rows flushed, path line half-written) is truncated to
+    the last complete row on reopen; re-ingest resumes cleanly."""
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    paths, emb = make_data(rng, 50)
+    store.append(paths, emb)
+    # simulate a crash mid-append: extra rows in .bin, torn paths line
+    bin_f = store._file(store._active, ".bin")
+    paths_f = store._file(store._active, ".paths")
+    with open(bin_f, "ab") as f:
+        f.write(np.zeros((3, DIM), "<f4").tobytes())
+        f.write(b"\x01\x02")  # partial row
+    with open(paths_f, "a") as f:
+        f.write('"/pics/torn_a.jpg"\n')
+        f.write('"/pics/torn')  # no newline, invalid JSON
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    # min(bin=53, paths=51) = 51 complete rows survive
+    assert len(store2) == 51
+    more_paths, more_emb = make_data(rng, 10)
+    more_paths = [p.replace("img", "more") for p in more_paths]
+    store2.append(more_paths, more_emb)
+    store3 = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    assert len(store3) == 61
+    got_paths, got_emb = store3.load_all()
+    assert got_paths[-10:] == more_paths
+    np.testing.assert_allclose(got_emb[-10:], more_emb, rtol=1e-6)
+
+
+def test_store_v1_backward_compat(tmp_path, rng):
+    """A version-1 store (shard_*.npy per append) loads transparently and
+    new appends land in a v2 active segment."""
+    import json as _json
+    import os
+
+    paths, emb = make_data(rng, 30)
+    np.save(os.path.join(tmp_path, "shard_00000.npy"), emb[:20])
+    with open(os.path.join(tmp_path, "shard_00000.paths.json"), "w") as f:
+        _json.dump(paths[:20], f)
+    with open(os.path.join(tmp_path, "manifest.json"), "w") as f:
+        _json.dump({"dim": DIM, "version": 1, "shards": ["shard_00000"]}, f)
+
+    store = EmbeddingStore(str(tmp_path), DIM)
+    assert len(store) == 20
+    store.append(paths[20:], emb[20:])
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    got_paths, got_emb = store2.load_all()
+    assert got_paths == paths
+    np.testing.assert_allclose(got_emb, emb, rtol=1e-6)

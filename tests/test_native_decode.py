@@ -99,3 +99,64 @@ def test_native_faster_than_pil(rng):
     t_pil = time.perf_counter() - t0
     # not a strict perf assertion (CI noise) — just ensure it's not slower
     assert t_native < t_pil * 1.5, (t_native, t_pil)
+
+
+def _roundtrip(arr, fmt, tol, **save_kw):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, fmt, **save_kw)
+    data = buf.getvalue()
+    got = native_decode.decode_bytes(data, 0)
+    assert got is not None, f"native decoder rejected {fmt}"
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert got.shape == pil.shape
+    assert np.abs(got.astype(int) - pil.astype(int)).max() <= tol
+
+
+def test_webp_matches_pil(rng):
+    """clip.rs:63-64 whitelist: webp decodes natively (libwebp), matching
+    PIL bit-for-bit (same underlying library)."""
+    arr = rng.integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    _roundtrip(arr, "WEBP", 0, lossless=True)
+    _roundtrip(arr, "WEBP", 24, quality=85)
+
+
+def test_gif_matches_pil(rng):
+    """From-scratch GIF-LZW decoder (no giflib in the image): plain and
+    interlaced first frames match PIL's palette expansion exactly."""
+    arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    _roundtrip(arr, "GIF", 0)
+    _roundtrip(arr, "GIF", 0, interlace=True)
+
+
+def test_bmp_matches_pil(rng):
+    """From-scratch BMP decoder: 24-bit and 8-bit palette, bottom-up rows."""
+    arr = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)  # odd stride pad
+    _roundtrip(arr, "BMP", 0)
+    buf = io.BytesIO()
+    Image.fromarray(arr).convert("P").save(buf, "BMP")
+    data = buf.getvalue()
+    got = native_decode.decode_bytes(data, 0)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert got is not None and np.array_equal(got, pil)
+
+
+def test_tiff_matches_pil(rng):
+    """libtiff RGBA path (hand-declared stable ABI — no tiffio.h shipped)."""
+    arr = rng.integers(0, 256, (52, 60, 3), dtype=np.uint8)
+    _roundtrip(arr, "TIFF", 0)
+    _roundtrip(arr, "TIFF", 0, compression="tiff_lzw")
+
+
+def test_all_whitelisted_extensions_native(tmp_path, rng):
+    """Every extension the reference accepts (clip.rs:63-64) decodes through
+    the native path — none falls back to PIL."""
+    from image_search_tpu.ingest.walk import IMAGE_EXTENSIONS
+
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    save_fmt = {"jpg": "JPEG", "jpeg": "JPEG", "png": "PNG", "gif": "GIF",
+                "bmp": "BMP", "webp": "WEBP", "tiff": "TIFF"}
+    assert set(save_fmt) == set(IMAGE_EXTENSIONS)
+    for ext, fmt in save_fmt.items():
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, fmt)
+        assert native_decode.decode_bytes(buf.getvalue(), 0) is not None, ext
