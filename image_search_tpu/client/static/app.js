@@ -1,9 +1,13 @@
-// Client logic mirroring the Leptos app (client/src/app.rs, header.rs,
-// image_card.rs, image_modal.rs) against the same HTTP contract.
+// Client DOM wiring mirroring the Leptos app (client/src/app.rs, header.rs,
+// image_card.rs, image_modal.rs) against the same HTTP contract. The pure
+// behavior lives in logic.js (window.ISXLogic) and is CI-tested headlessly
+// (tests/test_client_logic.py); this file only binds it to the DOM.
+
+const L = window.ISXLogic;
 
 const state = {
   results: [],          // [{id, image_path, score}]
-  marked: new Set(),    // image_path strings submitted as referenced_images
+  marked: [],           // image_path strings submitted as referenced_images
 };
 
 const $ = (id) => document.getElementById(id);
@@ -22,11 +26,11 @@ async function performSearch() {
     const res = await fetch("/search", {
       method: "POST",
       headers: { "content-type": "application/json" },
-      body: JSON.stringify({ q, referenced_images: [...state.marked] }),
+      body: L.searchBody(q, state.marked),
     });
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const data = await res.json();
-    state.results = data.images || [];
+    state.results = L.resultsOf(data);
     // marks persist across rounds (reference: marked_images RwSignal is
     // never cleared, app.rs:24) — feedback accumulates until un-checked
     render();
@@ -46,9 +50,7 @@ async function performScan() {
     const res = await fetch("/scan");
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const stats = await res.json().catch(() => null);
-    setStatus(stats
-      ? `scan done: ${stats.embedded} new, ${stats.skipped_existing} known, ${stats.decode_failures} failed (${stats.seconds}s)`
-      : "scan done");
+    setStatus(L.scanStatusText(stats));
   } catch (err) {
     setStatus(`scan failed: ${err.message}`);
   } finally {
@@ -68,10 +70,9 @@ function render() {
     const mark = document.createElement("input");
     mark.type = "checkbox";
     mark.className = "mark";
-    mark.checked = state.marked.has(img.image_path);
+    mark.checked = state.marked.includes(img.image_path);
     mark.addEventListener("change", () => {
-      if (mark.checked) state.marked.add(img.image_path);
-      else state.marked.delete(img.image_path);
+      state.marked = L.toggleMark(state.marked, img.image_path, mark.checked);
       card.classList.toggle("marked", mark.checked);
     });
 
@@ -81,7 +82,7 @@ function render() {
     pic.alt = img.image_path;
     pic.addEventListener("click", () => openModal(img.image_path));
 
-    if (mark.checked) card.classList.add("marked");
+    if (mark.checked) card.classList.add("marked");  // persists across rounds
     card.append(mark, pic);
     return card;
   }));
@@ -94,7 +95,7 @@ const modalImg = $("modal-img");
 let zoom = 1, panX = 0, panY = 0, dragging = false, lastX = 0, lastY = 0;
 
 function applyTransform() {
-  modalImg.style.transform = `translate(${panX}px, ${panY}px) scale(${zoom})`;
+  modalImg.style.transform = L.transformOf(zoom, panX, panY);
 }
 
 function openModal(src) {
@@ -109,15 +110,11 @@ function closeModal() { modal.classList.add("hidden"); }
 // wheel-zoom about the cursor, clamped to [0.5, 5] (image_modal.rs:14-34)
 modal.addEventListener("wheel", (e) => {
   e.preventDefault();
-  const factor = e.deltaY < 0 ? 1.1 : 1 / 1.1;
-  const next = Math.min(5.0, Math.max(0.5, zoom * factor));
   const rect = modalImg.getBoundingClientRect();
   const cx = e.clientX - (rect.left + rect.width / 2);
   const cy = e.clientY - (rect.top + rect.height / 2);
-  const applied = next / zoom;
-  panX -= cx * (applied - 1);
-  panY -= cy * (applied - 1);
-  zoom = next;
+  const next = L.wheelZoom(zoom, panX, panY, e.deltaY, cx, cy);
+  zoom = next.zoom; panX = next.panX; panY = next.panY;
   applyTransform();
 }, { passive: false });
 
@@ -130,9 +127,8 @@ modal.addEventListener("mousedown", (e) => {
 });
 window.addEventListener("mousemove", (e) => {
   if (!dragging) return;
-  panX += e.clientX - lastX;
-  panY += e.clientY - lastY;
-  lastX = e.clientX; lastY = e.clientY;
+  const next = L.panMove(panX, panY, lastX, lastY, e.clientX, e.clientY);
+  panX = next.panX; panY = next.panY; lastX = next.lastX; lastY = next.lastY;
   applyTransform();
 });
 window.addEventListener("mouseup", () => {
@@ -142,15 +138,15 @@ window.addEventListener("mouseup", () => {
 
 // click outside the image closes (image_modal.rs:68)
 modal.addEventListener("click", (e) => {
-  if (e.target === modal) closeModal();
+  if (L.shouldCloseModal(e.target === modal, "")) closeModal();
 });
 window.addEventListener("keydown", (e) => {
-  if (e.key === "Escape") closeModal();
+  if (L.shouldCloseModal(false, e.key)) closeModal();
 });
 
 // --- wiring -------------------------------------------------------------------
 
 $("search-input").addEventListener("keydown", (e) => {
-  if (e.key === "Enter") performSearch();
+  if (L.shouldSearch(e.key, $("search-input").value)) performSearch();
 });
 $("scan-btn").addEventListener("click", performScan);

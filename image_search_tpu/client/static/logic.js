@@ -1,0 +1,100 @@
+// Pure client logic — the testable core of the UI behaviors the reference
+// implements in compiled Rust (client/src/image_modal.rs:14-55 zoom/pan,
+// image_card.rs:12-27 mark toggling, header.rs:13-20 submit guard,
+// app.rs:26-56 search round-trip shapes).
+//
+// DISCIPLINE: this file is executed BOTH by the browser (via index.html)
+// and by tests/test_client_logic.py, which translates this exact source
+// through a strict JS-subset-to-Python translator (no JS runtime exists in
+// the CI sandbox). Keep every function inside the subset: function/const/
+// let/if/else/for-over-length/return, one ternary per expression, template
+// literals, Math.min/max/abs, .push/.length/.trim, JSON.stringify, &&/||,
+// ===/!==. The translator REJECTS anything else — a fancy construct here
+// fails CI rather than silently losing coverage.
+
+// scale clamp [0.5, 5.0] (image_modal.rs:14-34)
+function clampScale(s) {
+  return Math.min(5.0, Math.max(0.5, s));
+}
+
+// wheel-zoom about the cursor. cx/cy are the cursor offsets from the
+// rendered image's center; the image point under the cursor stays fixed
+// on screen. deltaY < 0 zooms in by 1.1x, else out by 1/1.1.
+function wheelZoom(zoom, panX, panY, deltaY, cx, cy) {
+  const factor = deltaY < 0 ? 1.1 : 1 / 1.1;
+  const next = clampScale(zoom * factor);
+  const applied = next / zoom;
+  return {
+    zoom: next,
+    panX: panX - cx * (applied - 1),
+    panY: panY - cy * (applied - 1),
+  };
+}
+
+// mouse-drag panning step (image_modal.rs:36-55)
+function panMove(panX, panY, lastX, lastY, clientX, clientY) {
+  return {
+    panX: panX + clientX - lastX,
+    panY: panY + clientY - lastY,
+    lastX: clientX,
+    lastY: clientY,
+  };
+}
+
+// CSS transform string applied to the modal image
+function transformOf(zoom, panX, panY) {
+  return `translate(${panX}px, ${panY}px) scale(${zoom})`;
+}
+
+// mark-checkbox toggling: marks persist across search rounds until
+// un-checked (the reference's marked_images signal is never cleared,
+// app.rs:24); returns a NEW list, first-marked order preserved.
+function toggleMark(marked, path, checked) {
+  const out = [];
+  for (let i = 0; i < marked.length; i++) {
+    if (marked[i] !== path) {
+      out.push(marked[i]);
+    }
+  }
+  if (checked) {
+    out.push(path);
+  }
+  return out;
+}
+
+// Enter submits only when the query is non-empty (header.rs:13-20)
+function shouldSearch(key, q) {
+  return key === "Enter" && q.trim() !== "";
+}
+
+// POST /search body (SearchParams wire shape, data/src/lib.rs:4-9)
+function searchBody(q, marked) {
+  return JSON.stringify({ q: q, referenced_images: marked });
+}
+
+// SearchResponse -> result list; a missing images field renders empty
+function resultsOf(data) {
+  return data.images || [];
+}
+
+// status line after a scan round-trip
+function scanStatusText(stats) {
+  if (stats) {
+    return `scan done: ${stats.embedded} new, ${stats.skipped_existing} known, ${stats.decode_failures} failed (${stats.seconds}s)`;
+  }
+  return "scan done";
+}
+
+// whether a modal backdrop click should close (click-outside,
+// image_modal.rs:68); targetIsBackdrop is (e.target === modal)
+function shouldCloseModal(targetIsBackdrop, key) {
+  return targetIsBackdrop || key === "Escape";
+}
+
+/* EXPORT (ignored by the test translator) */
+if (typeof window !== "undefined") {
+  window.ISXLogic = {
+    clampScale, wheelZoom, panMove, transformOf, toggleMark,
+    shouldSearch, searchBody, resultsOf, scanStatusText, shouldCloseModal,
+  };
+}
