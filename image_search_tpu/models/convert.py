@@ -179,3 +179,55 @@ def load_checkpoint(path: str, dtype=jnp.float32):
     cfg = CLIPConfig.from_json(meta["config"])
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), _unflatten(flat))
     return params, cfg
+
+
+# canonical hub repos for the bundled presets (the reference pins its weight
+# source the same way: Xenova/clip-vit-large-patch14 in clip/build.rs:10-11)
+HF_REPOS = {
+    "clip-vit-large-patch14": "openai/clip-vit-large-patch14",
+    "clip-vit-base-patch32": "openai/clip-vit-base-patch32",
+    "clip-vit-base-patch16": "openai/clip-vit-base-patch16",
+    "openclip-vit-H-14": "laion/CLIP-ViT-H-14-laion2B-s32B-b79K",
+    "openclip-vit-bigG-14": "laion/CLIP-ViT-bigG-14-laion2B-39B-b160k",
+    "siglip-base-patch16-224": "google/siglip-base-patch16-224",
+}
+
+
+def convert_hf_model(
+    model_ref: str,
+    out_path: str,
+    preset: str | None = None,
+    tokenizer_out: str | None = None,
+) -> CLIPConfig:
+    """Fetch (hub id) or read (local HF dir) a model, convert BOTH towers,
+    write one safetensors checkpoint (+ optional tokenizer files).
+
+    The runtime equivalent of the reference's build-time weight pipeline
+    (``clip/build.rs:9-11`` HF download -> codegen -> .mpk): a networked
+    deployment points ``--from-hf`` at a hub id and gets a ready checkpoint;
+    offline deployments pass a local directory. Returns the model config.
+    """
+    from image_search_tpu.config import get_config
+
+    name = (preset or model_ref).rstrip("/").split("/")[-1]
+    cfg = get_config(name)
+    if cfg.arch == "siglip":
+        from transformers import SiglipModel as Model
+
+        from image_search_tpu.models.siglip import (
+            params_from_hf_state_dict as convert,
+        )
+    else:
+        from transformers import CLIPModel as Model
+
+        convert = params_from_hf_state_dict
+    model = Model.from_pretrained(model_ref)
+    params = convert(model.state_dict(), cfg)
+    save_checkpoint(out_path, params, cfg)
+    if tokenizer_out:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_ref, use_fast=False)
+        os.makedirs(tokenizer_out, exist_ok=True)
+        tok.save_vocabulary(tokenizer_out)
+    return cfg

@@ -25,6 +25,7 @@ class ServerArgs:
     index_capacity: Optional[int] = None  # preallocate slabs for N rows
     tokenizer_dir: Optional[str] = None
     model: str = "clip-vit-large-patch14"
+    from_hf: Optional[str] = None  # hub id / local HF dir / "auto"
     preprocess_mode: str = "hf"
     compute_dtype: str = "auto"  # auto|float32|bfloat16
     mesh_data: Optional[int] = None  # None => all devices
@@ -65,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dir with vocab.json+merges.txt (CLIP BPE)")
     p.add_argument("--model", default=d.model,
                    help="model preset when --model-weights doesn't exist")
+    p.add_argument("--from-hf", default=d.from_hf, dest="from_hf",
+                   help="when --model-weights is missing, fetch+convert this "
+                        "HF hub id (or local HF dir; 'auto' = the preset's "
+                        "canonical repo) into --model-weights at startup — "
+                        "the runtime equivalent of the reference's build-time "
+                        "weight download (clip/build.rs:9-11)")
     p.add_argument("--preprocess-mode", choices=["hf", "reference"], default=d.preprocess_mode)
     p.add_argument("--compute-dtype", choices=["auto", "float32", "bfloat16"],
                    default=d.compute_dtype)

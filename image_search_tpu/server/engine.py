@@ -91,6 +91,24 @@ class SearchEngine:
 
     def _load_model(self):
         path = self.args.model_weights
+        if not os.path.exists(path) and self.args.from_hf:
+            # fetch-and-convert at startup (reference does this at build
+            # time, clip/build.rs:9-11); degrades with a warning offline
+            from image_search_tpu.models.convert import HF_REPOS, convert_hf_model
+
+            ref = self.args.from_hf
+            if ref == "auto":
+                ref = HF_REPOS.get(self.args.model, self.args.model)
+            tok_out = None
+            if self.args.tokenizer_dir and not os.path.exists(
+                os.path.join(self.args.tokenizer_dir, "vocab.json")
+            ):
+                tok_out = self.args.tokenizer_dir
+            try:
+                log.info("--from-hf: converting %s -> %s", ref, path)
+                convert_hf_model(ref, path, preset=self.args.model, tokenizer_out=tok_out)
+            except Exception as err:
+                log.warning("--from-hf %s failed (%s); continuing without", ref, err)
         if os.path.exists(path):
             params, cfg = load_checkpoint(path)
             log.info("loaded checkpoint %s (%s)", path, cfg.name)

@@ -55,3 +55,63 @@ def test_convert_tool_roundtrip(tmp_path, rng):
             input_ids=torch.from_numpy(ids.astype(np.int64))
         ).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_server_from_hf_converts_at_startup(tmp_path, rng):
+    """--from-hf: a missing checkpoint is fetched (here: local HF dir) and
+    converted at engine startup — the runtime counterpart of the reference's
+    build-time weight download (clip/build.rs:9-11). The loaded engine must
+    serve the CONVERTED weights, not random ones."""
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_model_parity import build_hf_clip
+
+    from image_search_tpu import config as cfglib
+    from image_search_tpu.server.args import ServerArgs
+    from image_search_tpu.server.engine import SearchEngine
+
+    cfg = cfglib.tiny_test_config()
+    model = build_hf_clip(cfg)
+    hf_dir = str(tmp_path / "hf")
+    model.save_pretrained(hf_dir, safe_serialization=True)
+
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(media + "/a.jpg")
+
+    ckpt = str(tmp_path / "models" / "clip.safetensors")
+    args = ServerArgs(
+        model_weights=ckpt,
+        model="clip-tiny-test",
+        from_hf=hf_dir,
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    assert os.path.exists(ckpt)  # converted at startup
+    # converted (not random) weights: text embedding matches the HF model
+    import torch
+
+    ids = np.full((1, cfg.text.context_length), cfg.text.eos_token_id, np.int64)
+    ids[0, 0] = 3
+    with torch.no_grad():
+        want = model.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+    got = eng.embedder._encode_text(eng.embedder.params, input_ids=ids.astype(np.int32))
+    cos = float(
+        (np.asarray(got)[0] @ want[0])
+        / (np.linalg.norm(got[0]) * np.linalg.norm(want[0]))
+    )
+    assert cos > 0.999
+
+    # a bogus hub id degrades to a warning + random weights, not a crash
+    args2 = ServerArgs(
+        model_weights=str(tmp_path / "none.st"),
+        model="clip-tiny-test",
+        from_hf="no-such-org/no-such-model-xyz",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx2"),
+    )
+    eng2 = SearchEngine(args2)
+    assert eng2.cfg.name == "clip-tiny-test"

@@ -30,36 +30,15 @@ def main() -> None:
                     help="also export vocab.json/merges.txt here")
     args = ap.parse_args()
 
-    from image_search_tpu.config import get_config
-    from image_search_tpu.models import save_checkpoint
-    from image_search_tpu.models import params_from_hf_state_dict
-    from image_search_tpu.models.siglip import (
-        params_from_hf_state_dict as siglip_convert,
+    from image_search_tpu.models.convert import convert_hf_model
+
+    print(f"loading {args.model} ...")
+    cfg = convert_hf_model(
+        args.model, args.out, preset=args.preset, tokenizer_out=args.tokenizer_out
     )
-
-    name = (args.preset or args.model).split("/")[-1]
-    cfg = get_config(name)
-
-    if cfg.arch == "siglip":
-        from transformers import SiglipModel as Model
-        convert = siglip_convert
-    else:
-        from transformers import CLIPModel as Model
-        convert = params_from_hf_state_dict
-
-    print(f"loading {args.model} ({cfg.name}, arch={cfg.arch}) ...")
-    model = Model.from_pretrained(args.model)
-    params = convert(model.state_dict(), cfg)
-    save_checkpoint(args.out, params, cfg)
     size_mb = os.path.getsize(args.out) / 1e6
-    print(f"wrote {args.out} ({size_mb:.0f} MB, both towers + config)")
-
+    print(f"wrote {args.out} ({size_mb:.0f} MB, {cfg.name}, both towers + config)")
     if args.tokenizer_out:
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(args.model, use_fast=False)
-        os.makedirs(args.tokenizer_out, exist_ok=True)
-        tok.save_vocabulary(args.tokenizer_out)
         print(f"wrote tokenizer files to {args.tokenizer_out}")
 
 
