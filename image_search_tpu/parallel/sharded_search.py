@@ -113,7 +113,9 @@ def sharded_topk(
         if approx and local_k * 4 < local_n:
             s_k, i_k = jax.lax.approx_max_k(scores, local_k, recall_target=0.95)
         else:
-            s_k, i_k = jax.lax.top_k(scores, local_k)  # [B, local_k]
+            from image_search_tpu.ops.topk import exact_topk
+
+            s_k, i_k = exact_topk(scores, local_k)  # [B, local_k], exact
         gi_k = gids[i_k]  # local candidate -> global row id
 
         # gather the candidate sets from every shard: [S, B, local_k]

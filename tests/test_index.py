@@ -484,3 +484,36 @@ def test_store_v1_backward_compat(tmp_path, rng):
     got_paths, got_emb = store2.load_all()
     assert got_paths == paths
     np.testing.assert_allclose(got_emb, emb, rtol=1e-6)
+
+
+def test_hierarchical_exact_topk():
+    """ops/topk.py exact_topk == lax.top_k on a corpus big enough to take
+    the hierarchical path, including adversarial tie mass at the k-th value
+    (values must match exactly; indices must be a valid tie-broken top-k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_search_tpu.ops.topk import exact_topk
+
+    rng2 = np.random.default_rng(7)
+    n, k = 512 * 1024, 100  # NR = 4096 >= HOLD -> hierarchical path
+    scores = rng2.standard_normal((2, n)).astype(np.float32)
+    got_v, got_i = exact_topk(jnp.asarray(scores), k)
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+    # tie storm: 5000 identical maxima spread across rows
+    adv = np.zeros((1, n), np.float32)
+    idx = rng2.choice(n, size=5000, replace=False)
+    adv[0, idx] = 1.0
+    got_v, got_i = exact_topk(jnp.asarray(adv), k)
+    assert np.all(np.asarray(got_v) == 1.0)
+    assert np.all(adv[0, np.asarray(got_i[0])] == 1.0)
+    assert len(set(np.asarray(got_i[0]).tolist())) == k  # distinct indices
+
+    # small corpus takes the plain fallback and stays exact
+    small = rng2.standard_normal((1, 1000)).astype(np.float32)
+    gv, gi = exact_topk(jnp.asarray(small), 10)
+    rv, ri = jax.lax.top_k(jnp.asarray(small), 10)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
