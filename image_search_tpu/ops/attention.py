@@ -148,6 +148,123 @@ attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Packed-QKV input kernel: consumes the [B, S, 3D] output of the fused
+# LN->qkv-proj matmul (ops/ln_matmul.py) directly, so q/k/v are never
+# sliced apart in HBM (slicing [B,S,3D] into three [B,S,D] copies measured
+# -11% e2e in round 1; in-VMEM slicing is what this kernel does instead).
+# sm_scale is applied to the f32 logits in-kernel (slightly MORE accurate
+# than pre-scaling bf16 q upstream).
+#
+# STATUS: measured NEGATIVE e2e (round 2) — the fused-block path built on
+# this kernel reached 725 img/s vs 922 for the shipped composition, and the
+# loss was traced to the upstream Pallas ln1->qkv matmul, not this kernel
+# (benchmarks/block_fused_e2e.py; docs/PERF_NOTES.md "fused LN->matmul").
+# Kept off the serving path; exercised by tests in interpret mode.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_packed(
+    qkv_ref, o_ref, logits_ref, *, causal: bool, sm_scale: float, heads: int
+):
+    S = qkv_ref.shape[1]
+    D = qkv_ref.shape[2] // 3
+    Hd = D // heads
+    for h in range(heads):
+        sl = slice(h * Hd, (h + 1) * Hd)
+        logits_ref[h] = jax.lax.dot_general(
+            qkv_ref[0, :, sl],
+            qkv_ref[0, :, D + h * Hd : D + (h + 1) * Hd],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    logits = logits_ref[:] * sm_scale
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        logits = jnp.where((row >= col)[None], logits, NEG_INF)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+    for h in range(heads):
+        o_ref[0, :, h * Hd : (h + 1) * Hd] = jax.lax.dot_general(
+            p[h],
+            qkv_ref[0, :, 2 * D + h * Hd : 2 * D + (h + 1) * Hd],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "causal", "sm_scale", "interpret")
+)
+def fused_attention_qkv_packed(
+    qkv: jax.Array,  # [B, S, 3D], [q|k|v] column blocks (unscaled q)
+    heads: int,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    in_spec = pl.BlockSpec((1, S, D3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_packed, causal=causal, sm_scale=sm_scale, heads=heads
+        ),
+        grid=(B,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((heads, S, S), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv.dtype),
+        # the in-kernel sm_scale multiply keeps one extra [H, S, S] f32 temp
+        # live vs the pre-scaled-q kernel above -> ~17 MB peak at ViT-L
+        # shapes; raise the scoped-VMEM cap (v5e has 128 MB physical)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=48 << 20
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def attention_qkv_packed_core(
+    qkv, heads: int, causal: bool, sm_scale: float, interpret: bool
+):
+    """Packed-qkv attention with a VJP (XLA-oracle backward, like
+    attention_core)."""
+    return fused_attention_qkv_packed(
+        qkv, heads=heads, causal=causal, sm_scale=sm_scale, interpret=interpret
+    )
+
+
+def _packed_fwd(qkv, heads, causal, sm_scale, interpret):
+    out = attention_qkv_packed_core(qkv, heads, causal, sm_scale, interpret)
+    return out, (qkv,)
+
+
+def _packed_bwd(heads, causal, sm_scale, interpret, residuals, g):
+    (qkv,) = residuals
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    Hd = D // heads
+
+    def ref(qkv_):
+        q = qkv_[..., :D].reshape(B, S, heads, Hd)
+        k = qkv_[..., D : 2 * D].reshape(B, S, heads, Hd)
+        v = qkv_[..., 2 * D :].reshape(B, S, heads, Hd)
+        return attention_reference(q, k, v, causal=causal, sm_scale=sm_scale).reshape(
+            B, S, D
+        )
+
+    _, vjp = jax.vjp(ref, qkv)
+    return vjp(g)
+
+
+attention_qkv_packed_core.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
 # QKV projection fused INTO the kernel
 # ---------------------------------------------------------------------------
 
