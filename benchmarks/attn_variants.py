@@ -116,7 +116,7 @@ def main() -> None:
     results = {}
     oracle_out = None
     # nomax (exp without max-subtraction) crashes the remote compiler; dropped
-    for name in ("perhead", "group4", "group8"):
+    for name in ("base", "group4", "epi", "exp2", "rows2"):
         attn = make_variant(name)
 
         @jax.jit

@@ -104,3 +104,50 @@ def test_attention_core_gradients_match_reference():
     gb = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_packed_qkv_attention_matches_reference():
+    """Packed-[q|k|v] kernel (in-kernel sm_scale) == oracle (interpret).
+
+    Off the serving path (measured-negative e2e, see ops/attention.py
+    STATUS note) but kept correct: consumes one [B, S, 3D] tensor and
+    slices heads in VMEM."""
+    from image_search_tpu.ops.attention import attention_qkv_packed_core
+
+    B, S, H, Hd = 2, 19, 4, 8
+    D = H * Hd
+    for causal in (False, True):
+        qkv = jax.random.normal(jax.random.key(7), (B, S, 3 * D), jnp.float32) * 0.4
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        want = attention_reference(
+            q.reshape(B, S, H, Hd),
+            k.reshape(B, S, H, Hd),
+            v.reshape(B, S, H, Hd),
+            causal=causal,
+            sm_scale=Hd**-0.5,
+        ).reshape(B, S, D)
+        got = attention_qkv_packed_core(qkv, H, causal, Hd**-0.5, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_qkv_attention_gradients_match_reference():
+    from image_search_tpu.ops.attention import attention_qkv_packed_core
+
+    B, S, H, Hd = 2, 11, 2, 8
+    D = H * Hd
+    qkv = jax.random.normal(jax.random.key(8), (B, S, 3 * D), jnp.float32) * 0.3
+
+    def loss_core(qkv):
+        return jnp.sum(attention_qkv_packed_core(qkv, H, False, 0.25, True) ** 2)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = attention_reference(
+            q.reshape(B, S, H, Hd), k.reshape(B, S, H, Hd), v.reshape(B, S, H, Hd),
+            causal=False, sm_scale=0.25,
+        ).reshape(B, S, D)
+        return jnp.sum(out**2)
+
+    ga = jax.grad(loss_core)(qkv)
+    gb = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
