@@ -1,10 +1,15 @@
-"""E2E forward: fused LN->matmul blocks vs round-1 blocks (real TPU).
+"""E2E forward: fused LN->matmul blocks vs shipped blocks (real TPU).
 
-Compares the shipped ViT-L/14 batch-160 embed forward with
-models.clip._block_fused (Pallas LN->qkv matmul + packed-qkv attention)
-against the round-1 composition (standalone LNs + weight-sliced projections
-+ attention_core). Uses the dependent-scalar-fetch warm-up protocol
-(docs/PERF_NOTES.md "platform pathologies").
+Reproduces the round-2 NEGATIVE result in docs/PERF_NOTES.md ("fused
+LN->matmul"): composing the ViT-L/14 batch-160 embed forward from the
+Pallas LN->matmul prologue kernel (ops/ln_matmul.py) and/or the packed-qkv
+attention kernel (ops/attention.py) LOSES 4-23% e2e vs the shipped
+composition (standalone XLA LNs + weight-sliced projections +
+attention_core), even though the kernels tie XLA standalone. The fused
+block compositions live HERE (not in models/clip.py) because they lost.
+
+Uses the dependent-scalar-fetch warm-up protocol (docs/PERF_NOTES.md
+"platform pathologies").
 
 Run: python benchmarks/block_fused_e2e.py
 """
@@ -30,6 +35,8 @@ def main() -> None:
 
     from image_search_tpu.config import clip_vit_l14
     from image_search_tpu.models import clip as model_lib, init_params
+    from image_search_tpu.ops.attention import attention_core, attention_qkv_packed_core
+    from image_search_tpu.ops.ln_matmul import ln_matmul_core, pick_block_m
 
     cfg = clip_vit_l14()
     params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
@@ -60,30 +67,83 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best, out
 
-    def round1_block(x, blk, c, causal):
+    def fused_qkv(x, blk, c):
+        """LN1 fused into the qkv projection (Pallas), packed [B,S,3D] out."""
+        Bx, S, D = x.shape
+        return ln_matmul_core(
+            x.reshape(Bx * S, D),
+            blk["ln1_scale"], blk["ln1_bias"],
+            blk["qkv_w"].astype(x.dtype), blk["qkv_b"].astype(x.dtype),
+            c.layernorm_eps, pick_block_m(D, 3 * D), False,
+        ).reshape(Bx, S, 3 * D)
+
+    def fused_mlp(x, blk, c):
+        """LN2 fused into the MLP fc matmul (Pallas)."""
+        Bx, S, D = x.shape
+        mlp_dim = blk["fc_w"].shape[-1]
+        h = ln_matmul_core(
+            x.reshape(Bx * S, D),
+            blk["ln2_scale"], blk["ln2_bias"],
+            blk["fc_w"].astype(x.dtype), blk["fc_b"].astype(x.dtype),
+            c.layernorm_eps, pick_block_m(D, mlp_dim), False,
+        )
+        h = model_lib._act(h, c.act)
+        return (
+            jnp.einsum("mk,kd->md", h, blk["proj_w"].astype(x.dtype))
+            + blk["proj_b"].astype(x.dtype)
+        ).reshape(Bx, S, D)
+
+    def o_proj(attn, blk, dtype):
+        return jnp.einsum("bsd,de->bse", attn, blk["o_w"].astype(dtype)) + blk[
+            "o_b"
+        ].astype(dtype)
+
+    def block_full_fused(x, blk, c, causal):
+        H, Hd = c.num_heads, c.head_dim
+        qkv = fused_qkv(x, blk, c)
+        attn = attention_qkv_packed_core(qkv, H, causal, float(Hd**-0.5), False)
+        x = x + o_proj(attn, blk, x.dtype)
+        return x + fused_mlp(x, blk, c)
+
+    def block_qkv_only(x, blk, c, causal):
+        Bx, S, D = x.shape
+        H, Hd = c.num_heads, c.head_dim
+        qkv = fused_qkv(x, blk, c)
+        q = qkv[..., :D] * float(Hd**-0.5)
+        out = attention_core(q, qkv[..., D : 2 * D], qkv[..., 2 * D :], H, causal, 1.0, False)
+        x = x + o_proj(out, blk, x.dtype)
+        return x + model_lib._mlp(
+            model_lib._layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], c.layernorm_eps),
+            blk, c,
+        )
+
+    def block_mlp_only(x, blk, c, causal):
         x = x + model_lib._attention(
             model_lib._layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], c.layernorm_eps),
             blk, c, causal,
         )
-        x = x + model_lib._mlp(
-            model_lib._layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], c.layernorm_eps),
-            blk, c,
-        )
-        return x
+        return x + fused_mlp(x, blk, c)
 
-    fused = model_lib._block_fused
-    dt_f, out_f = measure()
-    print(f"fused blocks  : {dt_f * 1e3:7.2f} ms  ({B / dt_f:7.1f} img/s)")
-    try:
-        model_lib._block_fused = round1_block
-        dt_r, out_r = measure()
-    finally:
-        model_lib._block_fused = fused
-    print(f"round-1 blocks: {dt_r * 1e3:7.2f} ms  ({B / dt_r:7.1f} img/s)")
-    cos = float(
-        jnp.mean(jnp.sum(out_f.astype(jnp.float32) * out_r.astype(jnp.float32), -1))
-    )
-    print(f"mean cosine fused vs round-1 (both L2-normed): {cos:.6f}")
+    shipped = model_lib._block
+    dt_s, out_s = measure()
+    print(f"shipped blocks    : {dt_s * 1e3:7.2f} ms  ({B / dt_s:7.1f} img/s)")
+    for name, blk_fn in (
+        ("fully fused", block_full_fused),
+        ("ln1->qkv only", block_qkv_only),
+        ("ln2->fc only", block_mlp_only),
+    ):
+        try:
+            model_lib._block = blk_fn
+            dt, out = measure()
+        finally:
+            model_lib._block = shipped
+        cos = float(
+            jnp.mean(jnp.sum(out.astype(jnp.float32) * out_s.astype(jnp.float32), -1))
+        )
+        print(
+            f"{name:18s}: {dt * 1e3:7.2f} ms  ({B / dt:7.1f} img/s)  "
+            f"cosine vs shipped {cos:.6f}"
+        )
 
 
 if __name__ == "__main__":

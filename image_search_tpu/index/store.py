@@ -118,27 +118,38 @@ class EmbeddingStore:
             os.path.getsize(bin_path) // self._row_bytes if os.path.exists(bin_path) else 0
         )
         lines: List[str] = []
+        ends: List[int] = []  # byte offset just past each complete line
+        raw = b""
         if os.path.exists(paths_path):
             with open(paths_path, "rb") as f:
                 raw = f.read()
+            off = 0
             for ln in raw.split(b"\n"):
                 if not ln:
+                    off += 1
                     continue
                 try:
                     lines.append(json.loads(ln))
                 except ValueError:
                     break  # torn final line
+                off += len(ln) + 1
+                ends.append(off)
         rows = min(bin_rows, len(lines))
         if rows != bin_rows or rows != len(lines):
             log.warning(
                 "store: recovering active segment %s to %d rows (bin=%d, paths=%d)",
                 self._active, rows, bin_rows, len(lines),
             )
-        with open(bin_path, "ab") as f:
-            f.truncate(rows * self._row_bytes)
-        with open(paths_path, "w") as f:
-            for p in lines[:rows]:
-                f.write(json.dumps(p) + "\n")
+        # Recovery must never create a window where durable rows are gone:
+        # both files are only ever TRUNCATED in place (no rewrite), and only
+        # when they actually disagree — a clean restart touches nothing.
+        if bin_rows != rows:
+            with open(bin_path, "ab") as f:
+                f.truncate(rows * self._row_bytes)
+        keep = ends[rows - 1] if rows else 0
+        if len(raw) != keep:
+            with open(paths_path, "ab") as f:
+                f.truncate(keep)
         self._active_rows = rows
         self._rows += rows
         self._path_set.update(lines[:rows])

@@ -224,22 +224,18 @@ class SearchEngine:
         # reuse the text cache (the feedback round re-sends the same q);
         # snapshot hits locally — a concurrent search could evict entries
         # between our insert and the stack below
-        with self._text_lock:
-            local = {}
-            for q in queries:
-                hit = self._text_cache.pop(q, None)
-                if hit is not None:
-                    local[q] = self._text_cache[q] = hit  # reinsert: LRU refresh
+        local = {}
+        for q in queries:
+            hit = self._cache_get(q)
+            if hit is not None:
+                local[q] = hit
         misses = [q for q in queries if q not in local]
         if misses:
             with global_metrics.timer("text_embed"):
                 embs = self.embedder.embed_texts(misses)
-            with self._text_lock:
-                for q, e in zip(misses, embs):
-                    local[q] = e
-                    if len(self._text_cache) >= 512:
-                        self._text_cache.pop(next(iter(self._text_cache)), None)
-                    self._text_cache[q] = e
+            for q, e in zip(misses, embs):
+                local[q] = e
+                self._cache_put(q, e)
         global_metrics.inc("text_embed_cache_hits", len(queries) - len(misses))
         q_mat = np.stack([local[q] for q in queries])
         sel_lists = [
@@ -274,25 +270,34 @@ class SearchEngine:
             out.append(ImageReference.for_path(media, float(score)).to_json())
         return out
 
-    def _cached_text_embed(self, query: str) -> np.ndarray:
-        """Text-tower output cached per query string (LRU): feedback rounds
-        repeat the same q (the reference re-embeds it every round,
-        search.rs:27). Eviction is least-recently-USED — dict order is
-        insertion order and hits reinsert, so next(iter(...)) is the LRU
-        entry; hot repeated queries survive sustained mixed load."""
+    # Text-tower output cached per query string (LRU): feedback rounds
+    # repeat the same q (the reference re-embeds it every round,
+    # search.rs:27). Eviction is least-recently-USED — dict order is
+    # insertion order and hits reinsert, so next(iter(...)) is the LRU
+    # entry; hot repeated queries survive sustained mixed load.
+    _TEXT_CACHE_CAP = 512
+
+    def _cache_get(self, query: str) -> Optional[np.ndarray]:
         with self._text_lock:
             hit = self._text_cache.pop(query, None)
             if hit is not None:
                 self._text_cache[query] = hit  # reinsert: LRU refresh
+        return hit
+
+    def _cache_put(self, query: str, emb: np.ndarray) -> None:
+        with self._text_lock:
+            if len(self._text_cache) >= self._TEXT_CACHE_CAP:
+                self._text_cache.pop(next(iter(self._text_cache)), None)
+            self._text_cache[query] = emb
+
+    def _cached_text_embed(self, query: str) -> np.ndarray:
+        hit = self._cache_get(query)
         if hit is not None:
             global_metrics.inc("text_embed_cache_hits")
             return hit
         with global_metrics.timer("text_embed"):
             emb = self.embedder.embed_text(query)
-        with self._text_lock:
-            if len(self._text_cache) >= 512:
-                self._text_cache.pop(next(iter(self._text_cache)), None)
-            self._text_cache[query] = emb
+        self._cache_put(query, emb)
         return emb
 
     def scan(self) -> ScanStats:

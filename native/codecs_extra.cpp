@@ -297,6 +297,11 @@ bool gif_parse(const uint8_t* d, size_t n, GifHeader* out) {
       out->frame_y = r.u16();
       out->frame_w = r.u16();
       out->frame_h = r.u16();
+      // frame dims are attacker-controlled independently of the screen
+      // dims checked by the caller: cap them too, or gif_lzw's reserve()
+      // can demand multi-GB (bad_alloc across the C ABI = process abort)
+      if (static_cast<int64_t>(out->frame_w) * out->frame_h > kMaxPixels)
+        return false;
       uint8_t iflags = r.u8();
       out->interlaced = (iflags & 0x40) != 0;
       const uint8_t* pal = gct;
@@ -419,6 +424,7 @@ bool bmp_parse(const uint8_t* d, size_t n, BmpInfo* b) {
   if (b->compression == 3) {
     // accept only the standard 8-bit masks (equivalent to BI_RGB layout)
     if (b->bpp != 32 && b->bpp != 16) return false;
+    if (n < 66) return false;  // masks live at d+54..65; n>=54 isn't enough
     uint32_t rm = rd32(d + 54), gm = rd32(d + 58), bm = rd32(d + 62);
     if (b->bpp == 32 && !(rm == 0xff0000 && gm == 0xff00 && bm == 0xff)) return false;
     if (b->bpp == 16 && !(rm == 0x7c00 && gm == 0x3e0 && bm == 0x1f)) return false;

@@ -464,6 +464,29 @@ def test_store_crash_recovery(tmp_path, rng):
     np.testing.assert_allclose(got_emb[-10:], more_emb, rtol=1e-6)
 
 
+def test_store_clean_restart_never_rewrites(tmp_path, rng):
+    """A consistent active segment must not be rewritten on reopen: recovery
+    only ever TRUNCATES in place, so there is no window where a crash during
+    reopen can destroy durably-committed rows (round-2 review finding)."""
+    import os
+
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    paths, emb = make_data(rng, 40)
+    store.append(paths, emb)
+    paths_f = store._file(store._active, ".paths")
+    bin_f = store._file(store._active, ".bin")
+    before = (open(paths_f, "rb").read(), os.path.getsize(bin_f))
+    stat_before = os.stat(paths_f)
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    assert len(store2) == 40
+    after = (open(paths_f, "rb").read(), os.path.getsize(bin_f))
+    assert after == before
+    # same inode, never recreated/rewritten
+    assert os.stat(paths_f).st_ino == stat_before.st_ino
+    assert os.stat(paths_f).st_mtime_ns == stat_before.st_mtime_ns
+
+
 def test_store_v1_backward_compat(tmp_path, rng):
     """A version-1 store (shard_*.npy per append) loads transparently and
     new appends land in a v2 active segment."""

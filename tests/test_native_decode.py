@@ -160,3 +160,31 @@ def test_all_whitelisted_extensions_native(tmp_path, rng):
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, fmt)
         assert native_decode.decode_bytes(buf.getvalue(), 0) is not None, ext
+
+
+def test_truncated_bitfields_bmp_rejected_not_overread():
+    """A 54-65 byte BMP with compression=BI_BITFIELDS must be rejected by the
+    header check, not read mask bytes past the buffer (round-2 review
+    finding: masks live at offsets 54..65)."""
+    import struct
+
+    # minimal BITMAPINFOHEADER claiming 32bpp BI_BITFIELDS, file cut at 54B
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 32, 3, 0, 2835, 2835, 0, 0
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    assert len(hdr) == 54
+    assert native_decode.decode_bytes(hdr) is None  # rejected, no crash
+
+
+def test_gif_huge_frame_dims_rejected():
+    """A GIF whose screen passes the pixel cap but whose image descriptor
+    claims a 65535x65535 frame must be rejected before the LZW buffer
+    reserve (round-2 review finding: multi-GB bad_alloc across the C ABI)."""
+    import struct
+
+    gct = bytes(6)  # 2-entry global color table
+    screen = struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)  # gct present, 2 entries
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 0xFFFF, 0xFFFF, 0)
+    data = b"GIF89a" + screen + gct + img + b"\x02\x01\x00\x00" + b"\x3b"
+    assert native_decode.decode_bytes(data) is None  # rejected, no crash
