@@ -90,7 +90,9 @@ def make_variant(variant: str):
             out_specs=spec,
             scratch_shapes=[pltpu.VMEM((group, S, S), jnp.float32)],
             out_shape=jax.ShapeDtypeStruct((B, S, DH), q.dtype),
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",), vmem_limit_bytes=64 << 20
+            ),
         )(q, k, v)
 
     return attn

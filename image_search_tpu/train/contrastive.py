@@ -14,10 +14,13 @@ Sharding (GSPMD style — annotate, let XLA place the collectives on ICI):
   attention projections shard column-/row-wise (Megatron-style tensor
   parallelism) via ``param_shardings`` — only needed for towers that
   outgrow a chip (ViT-bigG), ViT-L/14 fits comfortably.
+- fsdp=True: ZeRO-3-style parameter/gradient/optimizer-state sharding over
+  the data axis (per-layer all-gather inside the scanned tower) for when
+  the OPTIMIZER state is what outgrows the chip; composes with TP.
 
 No pipeline/sequence/expert parallelism: 24 layers of ViT-L/14 at seq 257
 leave nothing for PP/SP/EP to win (SURVEY.md §5); the scaling axes here are
-batch (data) and corpus (index shards).
+batch (data), optimizer memory (fsdp), width (model), corpus (index shards).
 """
 
 from __future__ import annotations
@@ -57,37 +60,55 @@ def clip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array):
     return loss, {"loss": loss, "img_to_txt_acc": acc, "logit_scale": scale}
 
 
-def _tower_block_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
-    """Megatron TP for the stacked [L, ...] block params."""
-    s = lambda *spec: NamedSharding(mesh, P(*spec))
-    col = s(None, None, MODEL_AXIS)  # [L, D, M] split output features
-    row = s(None, MODEL_AXIS, None)  # [L, M, D] split input features
-    rep2 = s(None, None)
+def _tower_block_specs(tp: bool, fsdp: bool) -> Dict[str, P]:
+    """PartitionSpecs for the stacked [L, ...] block params.
+
+    tp: Megatron column/row split of the OUTPUT/INPUT feature dims over the
+    model axis. fsdp: ZeRO-3-style shard of the remaining big weight dim
+    over the data axis — each weight lives 1/N-th per device and GSPMD
+    all-gathers it at its (per-layer, inside the scan) use site, then
+    reduce-scatters its gradient; optimizer moments inherit the sharding,
+    so optimizer memory also drops N-fold. The two composes: a [L, D, M]
+    weight can be ("data" on D, "model" on M) simultaneously."""
+    m = MODEL_AXIS if tp else None
+    d = DATA_AXIS if fsdp else None
+    rep2 = P(None, None)
     # qkv_w's fused last dim shards column-wise; GSPMD re-partitions at the
     # q/k/v split so correctness is layout-independent (verified equal to
     # the unsharded step in tests/test_train.py).
     return {
         "ln1_scale": rep2, "ln1_bias": rep2,
-        "qkv_w": col, "qkv_b": s(None, MODEL_AXIS),
-        "o_w": row, "o_b": rep2,
+        "qkv_w": P(None, d, m), "qkv_b": P(None, m),
+        "o_w": P(None, m, d), "o_b": rep2,
         "ln2_scale": rep2, "ln2_bias": rep2,
-        "fc_w": col, "fc_b": s(None, MODEL_AXIS),
-        "proj_w": row, "proj_b": rep2,
+        "fc_w": P(None, d, m), "fc_b": P(None, m),
+        "proj_w": P(None, m, d), "proj_b": rep2,
     }
 
 
-def param_shardings(params, mesh: Mesh):
+# big non-block 2D params that pay FSDP sharding (biases/LN/pos-emb don't)
+_FSDP_TOP_LEVEL = {
+    "token_embedding": P(DATA_AXIS, None),  # [V, D] — the largest text param
+    "patch_embedding": P(None, DATA_AXIS),  # [patch_dim, D]
+    "projection": P(DATA_AXIS, None),  # [D, proj]
+}
+
+
+def param_shardings(params, mesh: Mesh, fsdp: bool = False):
     """NamedSharding pytree: TP on block matmuls when the model axis > 1,
-    everything else replicated."""
+    optional ZeRO-3-style FSDP over the data axis, else replicated."""
     rep = NamedSharding(mesh, P())
-    if mesh.shape[MODEL_AXIS] <= 1:
+    tp = mesh.shape[MODEL_AXIS] > 1
+    if not tp and not fsdp:
         return jax.tree.map(lambda _: rep, params)
-    blk = _tower_block_shardings(mesh)
+    blk = _tower_block_specs(tp, fsdp)
 
     def assign(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         if "blocks" in names:
-            return blk[names[-1]]
+            return NamedSharding(mesh, blk[names[-1]])
+        if fsdp and names[-1] in _FSDP_TOP_LEVEL:
+            return NamedSharding(mesh, _FSDP_TOP_LEVEL[names[-1]])
         return rep
 
     return jax.tree_util.tree_map_with_path(assign, params)
@@ -99,9 +120,17 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    fsdp: bool = False,
 ):
     """Returns (init_fn(params) -> state, step_fn(state, ids, pixels) ->
     (state, metrics)), jitted over the mesh.
+
+    fsdp=True (requires a mesh) shards every big weight 1/N over the data
+    axis (ZeRO-3): params, gradients (reduce-scattered) and optimizer
+    moments all shrink N-fold per device, paying one per-layer all-gather
+    inside the scanned tower — the standard memory/bandwidth trade for
+    towers (ViT-bigG) whose optimizer state outgrows a chip. Composes with
+    tensor parallelism on the model axis.
 
     remat=True recomputes block activations in the backward pass
     (jax.checkpoint over the scanned layers) — necessary for ViT-L/14
@@ -138,9 +167,12 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a device mesh")
+
     def init_fn(params) -> TrainState:
         if mesh is not None:
-            params = jax.device_put(params, param_shardings(params, mesh))
+            params = jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     # Donating the state halves peak memory on TPU, but XLA:CPU's collective

@@ -201,3 +201,59 @@ def test_siglip_remat_step_matches_plain(rng):
     assert abs(float(ma["loss"]) - float(mb["loss"])) < 1e-6
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2)])
+def test_fsdp_step_matches_unsharded(rng, n_data, n_model):
+    """ZeRO-3-style FSDP (optionally composed with TP) computes the same
+    step as the replicated baseline. SGD like the TP test above: adam's
+    first step is ~lr*sign(g), which amplifies legitimate reduction-order
+    noise in near-zero gradients to full-lr param differences."""
+    cfg = tiny_test_config()
+    ids, pix = make_batch(rng, cfg, 16)
+    opt = optax.sgd(1e-2)
+
+    init_u, step_u = make_train_step(cfg, opt)
+    su = init_u(init_params(jax.random.key(1), cfg))
+    su, mu = step_u(su, jnp.asarray(ids), jnp.asarray(pix))
+
+    mesh = make_mesh(n_data, n_model)
+    init_s, step_s = make_train_step(cfg, opt, mesh=mesh, fsdp=True)
+    ss = init_s(init_params(jax.random.key(1), cfg))
+    ss, ms = step_s(ss, jnp.asarray(ids), jnp.asarray(pix))
+
+    assert np.allclose(float(mu["loss"]), float(ms["loss"]), atol=1e-5)
+    flat_u = jax.tree.leaves(su.params)
+    flat_s = jax.tree.leaves(ss.params)
+    for a, b in zip(flat_u, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+def test_fsdp_shards_params_and_moments():
+    """The big weights AND the adam moments genuinely live 1/n_data per
+    device after init and STAY sharded after a step (the inferred output
+    sharding must not silently re-replicate them)."""
+    cfg = tiny_test_config()
+    ids, pix = make_batch(np.random.default_rng(3), cfg, 16)
+    mesh = make_mesh(8, 1)
+    init_s, step_s = make_train_step(cfg, optax.adam(1e-3), mesh=mesh, fsdp=True)
+    ss = init_s(init_params(jax.random.key(1), cfg))
+
+    def check_sharded(state, when):
+        qkv = state.params["vision"]["blocks"]["qkv_w"]
+        mom = state.opt_state[0].mu["vision"]["blocks"]["qkv_w"]
+        for arr, what in ((qkv, "param"), (mom, "adam-mu")):
+            local = arr.addressable_shards[0].data.size
+            assert local * 8 <= arr.size, (
+                f"{what} not FSDP-sharded {when}: {local} of {arr.size}"
+            )
+
+    check_sharded(ss, "after init")
+    ss, _ = step_s(ss, jnp.asarray(ids), jnp.asarray(pix))
+    check_sharded(ss, "after step")
+
+
+def test_fsdp_requires_mesh():
+    cfg = tiny_test_config()
+    with pytest.raises(ValueError, match="fsdp"):
+        make_train_step(cfg, optax.sgd(1e-2), fsdp=True)
