@@ -54,6 +54,7 @@ def run_finetune(
     compute_dtype=None,
     preprocess_mode: str = "hf",
     remat: bool = False,
+    fsdp: bool = False,
     seed: int = 0,
     log_every: int = 10,
     checkpoint_dir: str | None = None,
@@ -75,7 +76,8 @@ def run_finetune(
         )
     optimizer = optax.adamw(learning_rate, weight_decay=0.01)
     init_fn, step_fn = make_train_step(
-        cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype, remat=remat
+        cfg, optimizer, mesh=mesh, compute_dtype=compute_dtype, remat=remat,
+        fsdp=fsdp,
     )
     state = init_fn(params)
     if checkpoint_dir:
@@ -147,6 +149,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--mesh-model", type=int, default=1)
     ap.add_argument("--remat", action="store_true",
                     help="recompute activations in backward (fits ViT-L/14 on 16GB)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-3: shard params/grads/optimizer state over the "
+                         "data axis (for towers whose adam state outgrows a chip)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="orbax train-state dir: resume + periodic saves")
     ap.add_argument("--save-every", type=int, default=100)
@@ -178,7 +183,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     trained, losses = run_finetune(
         params, cfg, tokenizer, pairs,
         mesh=mesh, batch_size=args.batch_size, steps=args.steps,
-        learning_rate=args.lr, remat=args.remat,
+        learning_rate=args.lr, remat=args.remat, fsdp=args.fsdp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
     )
     save_checkpoint(args.out, trained, cfg)

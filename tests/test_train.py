@@ -89,6 +89,13 @@ def test_finetune_driver_end_to_end(tmp_path, rng):
     )
     assert len(losses) == 5 and all(np.isfinite(l) for l in losses)
 
+    # same loop under mesh + fsdp (the driver's --fsdp path)
+    trained_f, losses_f = run_finetune(
+        params, cfg, tok, pairs, mesh=make_mesh(8, 1), fsdp=True,
+        batch_size=8, steps=2, learning_rate=1e-3, log_every=100,
+    )
+    assert len(losses_f) == 2 and all(np.isfinite(l) for l in losses_f)
+
     out = str(tmp_path / "ft.safetensors")
     save_checkpoint(out, trained, cfg)
     p2, cfg2 = load_checkpoint(out)
