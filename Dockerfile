@@ -5,7 +5,7 @@
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        g++ make libjpeg62-turbo-dev libpng-dev \
+        g++ make libjpeg62-turbo-dev libpng-dev libwebp-dev libtiff-dev \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
