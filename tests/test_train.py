@@ -264,3 +264,22 @@ def test_fsdp_requires_mesh():
     cfg = tiny_test_config()
     with pytest.raises(ValueError, match="fsdp"):
         make_train_step(cfg, optax.sgd(1e-2), fsdp=True)
+
+
+def test_fsdp_shardings_cover_siglip_tree():
+    """param_shardings must map every SigLIP leaf (same block names as CLIP;
+    MAP head + differently-named top-level params stay replicated)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_siglip import tiny_siglip_config
+
+    from image_search_tpu.models import get_model_module
+    from image_search_tpu.train.contrastive import param_shardings
+
+    cfg = tiny_siglip_config()
+    params = get_model_module(cfg).init_params(jax.random.key(0), cfg)
+    mesh = make_mesh(8, 1)
+    sh = param_shardings(params, mesh, fsdp=True)
+    assert "data" in str(sh["vision"]["blocks"]["qkv_w"].spec)
+    assert "data" not in str(sh["vision"]["head"]["probe"].spec)
