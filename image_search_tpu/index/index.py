@@ -92,6 +92,13 @@ def _grow(new_buf: jax.Array, old_buf: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
 
 
+@jax.jit
+def _mask_rows(pen: jax.Array, idx: jax.Array) -> jax.Array:
+    """Tombstone rows: set their additive score penalty to NEG_INF.
+    idx may contain repeats (pow2 padding) — set is idempotent."""
+    return pen.at[idx].set(NEG_INF)
+
+
 def _gather_rows(slabs, scales, idx):
     """Gather global rows [m] from the slab list -> [m, D] f32 normalized."""
     D = slabs[0].shape[1]
@@ -134,14 +141,20 @@ def _rocchio_query(slabs, scales, norms, text_emb, sel_idx):
 
 
 @partial(jax.jit, static_argnames=("k", "approx"))
-def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = False):
+def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = False, pens=None):
     """Exact/approx cosine top-k over the slab list; global row ids are the
-    concatenation order (slabs hold contiguous row ranges)."""
+    concatenation order (slabs hold contiguous row ranges). ``pens`` (same
+    slab layout, f32) is an additive penalty: 0 for live rows, NEG_INF for
+    tombstoned ones — XLA fuses the add into the score epilogue, and the
+    arg is omitted entirely (None) until the first removal so the
+    no-deletions program is unchanged."""
     q = _l2(queries.astype(jnp.float32))
     parts = []
     start = 0
     for i, slab in enumerate(slabs):
         s = shard_scores(slab, q, None if scales is None else scales[i])
+        if pens is not None:
+            s = s + pens[i][None, :]
         n = slab.shape[0]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
         parts.append(jnp.where(valid[None, :], s, NEG_INF))
@@ -160,7 +173,8 @@ def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = Fals
 
 @partial(jax.jit, static_argnames=("k", "approx"))
 def _feedback_search_local(
-    slabs, norms, size, text_emb, sel_idx, k: int, scales=None, approx: bool = False
+    slabs, norms, size, text_emb, sel_idx, k: int, scales=None,
+    approx: bool = False, pens=None,
 ):
     """Batched fused Rocchio search: text_emb [B, D], sel_idx [B, m].
 
@@ -171,15 +185,15 @@ def _feedback_search_local(
     q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
         slabs, scales, norms, text_emb, sel_idx
     )
-    return _search_local(slabs, size, q, k, scales, approx)
+    return _search_local(slabs, size, q, k, scales, approx, pens)
 
 
 @lru_cache(maxsize=64)
 def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
-    def fn(slabs, size, queries, scales=None):
+    def fn(slabs, size, queries, scales=None, pens=None):
         q = _l2(queries.astype(jnp.float32))
-        return sharded_topk(slabs, size, q, k, mesh, scales, approx)
+        return sharded_topk(slabs, size, q, k, mesh, scales, approx, pens)
 
     return fn
 
@@ -187,12 +201,12 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 @lru_cache(maxsize=64)
 def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
-    def fn(slabs, norms, size, text_emb, sel_idx, scales=None):
+    def fn(slabs, norms, size, text_emb, sel_idx, scales=None, pens=None):
         q = jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
             slabs, scales, norms, text_emb, sel_idx
         )
         qn = _l2(q)
-        return sharded_topk(slabs, size, qn, k, mesh, scales, approx)
+        return sharded_topk(slabs, size, qn, k, mesh, scales, approx, pens)
 
     return fn
 
@@ -250,14 +264,38 @@ class VectorIndex:
         self._scale_slabs: Optional[List[jax.Array]] = (
             [] if quantize == "int8" else None
         )
+        # additive score penalties: 0 live, NEG_INF tombstoned (lazily
+        # passed to the search kernels only once a removal happened)
+        self._pen_slabs: List[jax.Array] = []
+        self._removed = 0
         if capacity is not None:
             self._preallocate(capacity)
         else:
             self._append_slab(self._cap_multiple)
         if store is not None and len(store):
+            # replay appends and tombstones in true order (``at`` = store
+            # rows at deletion time): a path re-appended after its
+            # tombstone must come back live, and vice versa
+            tombs = store.load_tombstones()
+            ti, base = 0, 0
             for paths, emb in store.iter_shards():
-                self._add_in_memory(paths, emb)
-            log.info("index restored from %s: %d vectors", store.directory, self._size)
+                n, lo = len(paths), 0
+                while ti < len(tombs) and tombs[ti][0] <= base + n:
+                    cut = max(0, min(n, tombs[ti][0] - base))
+                    if cut > lo:
+                        self._add_in_memory(paths[lo:cut], emb[lo:cut])
+                        lo = cut
+                    self._remove_in_memory([tombs[ti][1]])
+                    ti += 1
+                if lo < n:
+                    self._add_in_memory(paths[lo:], emb[lo:])
+                base += n
+            for _, tp in tombs[ti:]:
+                self._remove_in_memory([tp])
+            log.info(
+                "index restored from %s: %d live vectors (%d tombstoned)",
+                store.directory, len(self), self._removed,
+            )
 
     # -- construction helpers ------------------------------------------------
 
@@ -276,6 +314,7 @@ class VectorIndex:
         self._norm_slabs.append(self._device_zeros((rows,)))
         if self._scale_slabs is not None:
             self._scale_slabs.append(self._device_zeros((rows,)))
+        self._pen_slabs.append(self._device_zeros((rows,)))
 
     def _preallocate(self, capacity: int) -> None:
         """--index-capacity: allocate all slabs upfront — ingest performs
@@ -304,7 +343,17 @@ class VectorIndex:
     # -- mutation -------------------------------------------------------------
 
     def __len__(self) -> int:
-        return self._size
+        """Number of LIVE (searchable) rows."""
+        return self._size - self._removed
+
+    @property
+    def removed_count(self) -> int:
+        return self._removed
+
+    def live_paths(self) -> List[str]:
+        """Snapshot of searchable paths (tombstoned ones excluded)."""
+        with self._lock:
+            return list(self._row)
 
     @property
     def paths(self) -> List[str]:
@@ -340,6 +389,9 @@ class VectorIndex:
                     self._scale_slabs[-1] = _grow(
                         self._device_zeros((new_rows,)), self._scale_slabs[-1]
                     )
+                self._pen_slabs[-1] = _grow(
+                    self._device_zeros((new_rows,)), self._pen_slabs[-1]
+                )
                 log.info("index tail slab grown to %d rows", new_rows)
             else:
                 # beyond one full slab: allocate a fresh slab, copy NOTHING —
@@ -458,6 +510,48 @@ class VectorIndex:
                 self.store.append(list(paths), np.asarray(embeddings, np.float32))
             return added
 
+    def _remove_in_memory(self, paths: Sequence[str]):
+        with self._lock:
+            rows, removed = [], []
+            for p in paths:
+                r = self._row.pop(p, None)
+                if r is not None:
+                    rows.append(r)
+                    removed.append(p)
+            if not rows:
+                return 0, []
+            by_slab: dict[int, List[int]] = {}
+            for g in rows:
+                i, local = self._locate(g)
+                by_slab.setdefault(i, []).append(local)
+            for i, locs in by_slab.items():
+                # pad to pow2 with repeats (set is idempotent) to bound
+                # retraces of the scatter across removal batch sizes
+                m = 1
+                while m < len(locs):
+                    m *= 2
+                padded = locs + [locs[-1]] * (m - len(locs))
+                self._pen_slabs[i] = _mask_rows(
+                    self._pen_slabs[i], jnp.asarray(padded, jnp.int32)
+                )
+            self._removed += len(rows)
+            return len(rows), removed
+
+    def remove_paths(self, paths: Sequence[str]) -> int:
+        """Tombstone rows by path: they stop appearing in every search path
+        (local, sharded, Rocchio) immediately, and — with a store attached —
+        stay removed across restarts. Rows are masked, not compacted (the
+        slab layout keeps global ids stable); re-adding the same path later
+        inserts a fresh live row. The reference has no deletion at all: a
+        removed photo keeps surfacing there forever.
+
+        Returns the number of rows actually removed."""
+        with self._lock:
+            n, removed = self._remove_in_memory(paths)
+            if removed and self.store is not None:
+                self.store.tombstone(removed)
+            return n
+
     # -- queries ---------------------------------------------------------------
 
     def _clamp_k(self, k: int) -> int:
@@ -466,11 +560,16 @@ class VectorIndex:
         return max(1, min(k, self._size if self._size else 1))
 
     def _snapshot(self):
-        """Caller must hold the lock: immutable references for lock-free compute."""
+        """Caller must hold the lock: immutable references for lock-free compute.
+
+        Penalties are ``None`` until the first removal, so the
+        no-deletions jit program (and its cache entry) is byte-identical
+        to a tombstone-free index."""
         return (
             tuple(self._emb_slabs),
             tuple(self._norm_slabs),
             None if self._scale_slabs is None else tuple(self._scale_slabs),
+            tuple(self._pen_slabs) if self._removed else None,
         )
 
     def search(self, queries: np.ndarray, k: int = 1000, approx: bool = False):
@@ -485,12 +584,12 @@ class VectorIndex:
                 B = int(q.shape[0])
                 return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
             k = self._clamp_k(k)
-            slabs, _, scales = self._snapshot()
+            slabs, _, scales, pens = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         if self.mesh is None:
-            s, i = _search_local(slabs, size, q, k, scales, approx)
+            s, i = _search_local(slabs, size, q, k, scales, approx, pens)
         else:
-            s, i = _sharded_search_fn(self.mesh, k, approx)(slabs, size, q, scales)
+            s, i = _sharded_search_fn(self.mesh, k, approx)(slabs, size, q, scales, pens)
         return np.asarray(s), np.asarray(i)
 
     def search_with_feedback(
@@ -543,7 +642,7 @@ class VectorIndex:
                 [self._row[p] for p in sel if p in self._row]
                 for sel in selected_paths_list
             ]
-            slabs, norms, scales = self._snapshot()
+            slabs, norms, scales, pens = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         # pad selections and batch to pow2 buckets to bound jit variants
         m = 8
@@ -560,11 +659,11 @@ class VectorIndex:
         text_j, sel_j = jnp.asarray(text_pad), jnp.asarray(sel)
         if self.mesh is None:
             s, i = _feedback_search_local(
-                slabs, norms, size, text_j, sel_j, k, scales, approx
+                slabs, norms, size, text_j, sel_j, k, scales, approx, pens
             )
         else:
             s, i = _sharded_feedback_fn(self.mesh, k, approx)(
-                slabs, norms, size, text_j, sel_j, scales
+                slabs, norms, size, text_j, sel_j, scales, pens
             )
         return np.asarray(s)[:B], np.asarray(i)[:B]
 
@@ -582,7 +681,7 @@ class VectorIndex:
             rows = [self._row[p] for p in paths if p in self._row]
             if not rows:
                 return np.zeros((0, self.dim), np.float32)
-            slabs, norms, scales = self._snapshot()
+            slabs, norms, scales, _ = self._snapshot()
         idx = jnp.asarray(np.asarray(rows))
         raw = _gather_rows(slabs, scales, idx) * _gather_1d(norms, idx)[:, None]
         return np.asarray(raw)

@@ -64,6 +64,31 @@ class EmbeddingStore:
         self._path_set: Set[str] = set()
         os.makedirs(directory, exist_ok=True)
         self._load()
+        self._apply_tombstones_to_path_set()
+
+    def _apply_tombstones_to_path_set(self) -> None:
+        """A path is store-live iff its LAST append row is >= its last
+        tombstone's ``at`` (appends after the tombstone re-add it). Only
+        walks segment paths again when tombstones actually exist."""
+        tombs = self.load_tombstones()
+        if not tombs:
+            return
+        last_at: dict = {}
+        for at, p in tombs:
+            last_at[p] = at
+        last_row: dict = {}
+        base = 0
+        segs = list(self._sealed)
+        if self._active_rows:
+            segs.append((self._active, self._active_rows, "bin"))
+        for seg in segs:
+            for i, p in enumerate(self._read_seg_paths(seg)):
+                if p in last_at:
+                    last_row[p] = base + i
+            base += seg[1]
+        for p, at in last_at.items():
+            if last_row.get(p, -1) < at:
+                self._path_set.discard(p)
 
     # -- persistence --------------------------------------------------------
 
@@ -246,6 +271,44 @@ class EmbeddingStore:
         self._sealed.append((self._active, self._active_rows, "bin"))
         log.info("store: sealed %s (%d rows)", self._active, self._active_rows)
         self._start_active(len(self._sealed))
+
+    TOMBSTONES = "tombstones.jsonl"
+
+    def tombstone(self, paths: Sequence[str]) -> int:
+        """Durably record deletions (append-only JSONL; no reference
+        counterpart — the reference can never remove an image). Each record
+        carries ``at`` = the store row count at deletion time, so replay can
+        interleave deletions with appends in true order: a path re-appended
+        AFTER its tombstone stays live. Tombstoned paths leave the dedup
+        set, so re-appending them persists a fresh row."""
+        recorded = 0
+        with open(os.path.join(self.directory, self.TOMBSTONES), "a") as f:
+            for p in paths:
+                if p in self._path_set:
+                    self._path_set.discard(p)
+                    f.write(json.dumps({"at": self._rows, "p": p}) + "\n")
+                    recorded += 1
+            if recorded:
+                f.flush()
+                os.fsync(f.fileno())
+        return recorded
+
+    def load_tombstones(self) -> List[Tuple[int, str]]:
+        """All tombstone records in append order as (at_row_count, path)."""
+        out: List[Tuple[int, str]] = []
+        tp = os.path.join(self.directory, self.TOMBSTONES)
+        if os.path.exists(tp):
+            with open(tp, "rb") as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    try:
+                        d = json.loads(ln)
+                    except ValueError:
+                        break  # torn final line from a crash mid-append
+                    out.append((int(d["at"]), d["p"]))
+        return out
 
     def iter_shards(self) -> Iterator[Tuple[List[str], np.ndarray]]:
         """Stream (paths, [n, dim] f32 rows) per segment — bounded memory."""

@@ -40,6 +40,7 @@ class ScanStats:
     decode_failures: int = 0
     embedded: int = 0
     seconds: float = 0.0
+    pruned: int = 0  # images tombstoned by --prune-on-scan
 
     @property
     def images_per_sec(self) -> float:

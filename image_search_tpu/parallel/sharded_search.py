@@ -61,6 +61,7 @@ def sharded_topk(
     mesh: Mesh,
     scales=None,  # tuple of [N_b] f32 for int8 rows, each P(data)
     approx: bool = False,  # per-shard approx_max_k (recall 0.95) instead of top_k
+    pens=None,  # tuple of [N_b] f32 additive penalties (0 live / NEG_INF tombstoned)
 ):
     """Exact cosine top-k over a row-sharded slabbed corpus.
 
@@ -82,9 +83,13 @@ def sharded_topk(
 
     in_specs = [tuple(P(DATA_AXIS, None) for _ in slabs), P(), P(None, None)]
     args = [slabs, size, queries]
-    if scales is not None:
+    has_scales = scales is not None
+    if has_scales:
         in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
         args.append(tuple(scales))
+    if pens is not None:
+        in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
+        args.append(tuple(pens))
 
     @partial(
         shard_map,
@@ -93,15 +98,17 @@ def sharded_topk(
         out_specs=(P(None, None), P(None, None)),
         check_rep=False,
     )
-    def _search(slabs_l, size_l, q, *maybe_scales):
-        scales_l = maybe_scales[0] if maybe_scales else None
+    def _search(slabs_l, size_l, q, *rest):
+        scales_l = rest[0] if has_scales else None
+        pens_l = rest[1 if has_scales else 0] if len(rest) > int(has_scales) else None
         shard_id = jax.lax.axis_index(DATA_AXIS)
         parts, gid_parts = [], []
         for b, emb_l in enumerate(slabs_l):
             nb_local = emb_l.shape[0]
-            parts.append(
-                shard_scores(emb_l, q, None if scales_l is None else scales_l[b])
-            )
+            sc = shard_scores(emb_l, q, None if scales_l is None else scales_l[b])
+            if pens_l is not None:
+                sc = sc + pens_l[b][None, :]
+            parts.append(sc)
             gid_parts.append(
                 int(slab_starts[b])
                 + shard_id * nb_local

@@ -168,6 +168,7 @@ def build_app(
                     "embedded": stats.embedded,
                     "skipped_existing": stats.skipped_existing,
                     "decode_failures": stats.decode_failures,
+                    "pruned": stats.pruned,
                     "seconds": round(stats.seconds, 3),
                 }
             )

@@ -33,6 +33,7 @@ class ServerArgs:
     decode_workers: int = 16
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
+    prune_on_scan: bool = False  # tombstone indexed images whose files vanished
     batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
     static_dir: Optional[str] = None
     profiler_port: Optional[int] = None  # jax.profiler trace server
@@ -85,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--search-approx", action="store_true", default=d.search_approx,
                    help="approx top-k (recall 0.95, ~2.3x faster at 10M+ rows; "
                         "still better fidelity than the reference's MTREE)")
+    p.add_argument("--prune-on-scan", action="store_true", default=d.prune_on_scan,
+                   help="each scan also tombstones indexed images whose files "
+                        "no longer exist (the reference keeps them forever)")
     p.add_argument("--static-dir", default=d.static_dir,
                    help="SPA dist dir (defaults to the bundled client)")
     p.add_argument("--profiler-port", type=int, default=d.profiler_port,

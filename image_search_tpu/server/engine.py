@@ -265,6 +265,10 @@ class SearchEngine:
         for row, score in zip(
             np.asarray(idx_row).reshape(-1), np.asarray(scores_row).reshape(-1)
         ):
+            if score < -1e30:
+                # sentinel rows: k exceeded the live corpus (tombstoned or
+                # padded rows carry NEG_INF scores) — never surface them
+                continue
             media = self.to_media_path(self.index.paths[int(row)])
             # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
             out.append(ImageReference.for_path(media, float(score)).to_json())
@@ -300,6 +304,18 @@ class SearchEngine:
         self._cache_put(query, emb)
         return emb
 
+    def prune_missing(self) -> int:
+        """Tombstone indexed images whose files no longer exist on disk —
+        capability the reference lacks entirely (a deleted photo keeps
+        surfacing in its results forever; here `--prune-on-scan` folds
+        cleanup into the rescan the user already triggers)."""
+        missing = [p for p in self.index.live_paths() if not os.path.exists(p)]
+        n = self.index.remove_paths(missing) if missing else 0
+        if n:
+            global_metrics.inc("pruned_missing", n)
+            log.info("pruned %d missing images from the index", n)
+        return n
+
     def scan(self) -> ScanStats:
         """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""
         # Multi-host partitioning feeds DIFFERENT data/call-counts per
@@ -318,6 +334,8 @@ class SearchEngine:
                 process_index=jax.process_index() if partition else 0,
                 process_count=jax.process_count() if partition else 1,
             )
+        if getattr(self.args, "prune_on_scan", False):
+            stats.pruned = self.prune_missing()
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)
         global_metrics.inc("decode_failures", stats.decode_failures)

@@ -540,3 +540,105 @@ def test_hierarchical_exact_topk():
     gv, gi = exact_topk(jnp.asarray(small), 10)
     rv, ri = jax.lax.top_k(jnp.asarray(small), 10)
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+
+
+# --- tombstone deletion (no reference counterpart: it can never remove) ---
+
+
+def test_remove_paths_excludes_from_search(rng):
+    paths, emb = make_data(rng, 300)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    dead = paths[10:40]
+    assert idx.remove_paths(dead) == 30
+    assert len(idx) == 270 and idx.removed_count == 30
+    assert not idx.has_path(dead[0])
+
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    s, i = idx.search(q, k=50)
+    returned = set(i.reshape(-1).tolist())
+    assert returned.isdisjoint(set(range(10, 40)))
+    # surviving rows score exactly as an index built without the dead rows
+    live_mask = np.ones(300, bool)
+    live_mask[10:40] = False
+    ws, wi = numpy_topk(emb[live_mask], q, 50)
+    live_ids = np.arange(300)[live_mask]
+    np.testing.assert_allclose(s, ws, rtol=1e-5, atol=1e-5)
+    for b in range(2):
+        assert set(i[b].tolist()) == set(live_ids[wi[b]].tolist())
+
+    # removing unknown/already-removed paths is a no-op
+    assert idx.remove_paths(dead + ["/pics/nope.jpg"]) == 0
+
+
+def test_remove_then_readd_is_live_again(rng):
+    paths, emb = make_data(rng, 64)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    idx.remove_paths([paths[5]])
+    assert idx.add([paths[5]], emb[5:6]) == 1
+    assert len(idx) == 64
+    s, i = idx.search(emb[5], k=1)
+    assert int(i[0, 0]) == 64  # fresh row, not the tombstoned one
+    assert s[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_remove_excluded_from_feedback_gather(rng):
+    paths, emb = make_data(rng, 128)
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    text = rng.normal(size=DIM).astype(np.float32)
+    s_before, _ = idx.search_with_feedback(text, [paths[3]], k=5)
+    idx.remove_paths([paths[3]])
+    # selection of a tombstoned path degrades to plain text search
+    s_after, i_after = idx.search_with_feedback(text, [paths[3]], k=5)
+    s_plain, i_plain = idx.search(text, k=5)
+    np.testing.assert_array_equal(i_after, i_plain)
+    np.testing.assert_allclose(s_after, s_plain, rtol=1e-6)
+
+
+def test_tombstones_survive_restart(tmp_path, rng):
+    paths, emb = make_data(rng, 100)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+    idx.remove_paths(paths[:20])
+    # re-add path 7 AFTER its tombstone: must come back live on restore
+    assert idx.add([paths[7]], emb[7:8]) == 1
+
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    idx2 = VectorIndex.from_store(store2)
+    assert len(idx2) == len(idx) == 81
+    assert idx2.removed_count == 20
+    assert not idx2.has_path(paths[3])
+    assert idx2.has_path(paths[7])
+    q = rng.normal(size=DIM).astype(np.float32)
+    s1, i1 = idx.search(q, k=30)
+    s2, i2 = idx2.search(q, k=30)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_remove_sharded_matches_local(rng):
+    paths, emb = make_data(rng, 512)
+    mesh = make_mesh(8, 1)
+    local = VectorIndex(DIM)
+    sharded = VectorIndex(DIM, mesh=mesh)
+    for ix in (local, sharded):
+        ix.add(paths, emb)
+        ix.remove_paths(paths[100:200])
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    ls, li = local.search(q, k=25)
+    ss, si = sharded.search(q, k=25)
+    np.testing.assert_allclose(ls, ss, rtol=1e-5, atol=1e-5)
+    for b in range(2):
+        assert set(li[b].tolist()) == set(si[b].tolist())
+    assert set(si.reshape(-1).tolist()).isdisjoint(set(range(100, 200)))
+
+
+def test_remove_int8_rows(rng):
+    paths, emb = make_data(rng, 256)
+    idx = VectorIndex(DIM, quantize="int8")
+    idx.add(paths, emb)
+    idx.remove_paths(paths[:128])
+    _, i = idx.search(rng.normal(size=DIM).astype(np.float32), k=20)
+    assert set(i.reshape(-1).tolist()).isdisjoint(set(range(128)))

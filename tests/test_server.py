@@ -274,3 +274,36 @@ def test_text_cache_is_lru(tmp_path):
     eng._cached_text_embed("new")  # triggers one eviction
     assert "hot" in eng._text_cache
     assert "cold0" not in eng._text_cache  # the LRU entry went instead
+
+
+def test_prune_on_scan_removes_deleted_files(tmp_path):
+    """--prune-on-scan: deleting a photo from disk removes it from results on
+    the next scan, durably. The reference keeps deleted photos forever."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=5)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        prune_on_scan=True,
+    )
+    eng = SearchEngine(args)
+    stats = eng.scan()
+    assert stats.embedded == 5 and stats.pruned == 0
+    res = eng.search("anything")
+    assert len(res) == 5
+
+    victim = res[0]["image_path"]
+    os.remove(os.path.join(eng.media_dir, victim[len("media/"):]))
+    stats2 = eng.scan()
+    assert stats2.pruned == 1 and stats2.embedded == 0
+    res2 = eng.search("anything")
+    assert len(res2) == 5 - 1
+    assert victim not in [r["image_path"] for r in res2]
+
+    # durability: a fresh engine over the same index dir stays pruned
+    eng2 = SearchEngine(args)
+    res3 = eng2.search("anything")
+    assert victim not in [r["image_path"] for r in res3]
+    assert len(res3) == 4
