@@ -16,6 +16,7 @@ Secondary metrics (query latency, preprocess overhead) go to stderr.
 from __future__ import annotations
 
 import json
+from functools import partial
 import statistics
 import sys
 import time
@@ -38,7 +39,9 @@ def bench_embed(batch_size: int = 160, iters: int = 20, warmup: int = 3):
     cfg = clip_vit_l14()
     params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
 
-    @jax.jit
+    from image_search_tpu.utils.tpu import embed_compiler_options
+
+    @partial(jax.jit, compiler_options=embed_compiler_options())
     def embed(params, u8, A_h, A_w):
         pixels = fused_preprocess(u8, A_h, A_w, mode="hf", out_dtype=jnp.bfloat16)
         return model_lib.encode_image(
