@@ -310,6 +310,93 @@ class EmbeddingStore:
                     out.append((int(d["at"]), d["p"]))
         return out
 
+    def compact(self) -> Tuple[int, int]:
+        """Rewrite the store without tombstoned rows; clears the tombstone
+        log. Offline maintenance (do NOT run while a server appends to this
+        directory): after compaction + restart the index carries zero
+        tombstone penalties and the dead rows' HBM/disk is reclaimed.
+
+        Returns (rows_kept, rows_dropped). Crash-safe: new segments are
+        written under temporary names and the manifest swap is atomic — a
+        crash mid-compaction leaves the original store fully intact.
+        """
+        tombs = self.load_tombstones()
+        if not tombs:
+            return self._rows, 0
+        last_at: dict = {}
+        for at, p in tombs:
+            last_at[p] = at
+        # a row is live iff it is its path's LAST occurrence and not
+        # superseded by a later tombstone (append dedup guarantees at most
+        # one occurrence at-or-after the last tombstone)
+        last_row: dict = {}
+        base = 0
+        segs = list(self._sealed)
+        if self._active_rows:
+            segs.append((self._active, self._active_rows, "bin"))
+        for seg in segs:
+            for i, p in enumerate(self._read_seg_paths(seg)):
+                last_row[p] = base + i
+            base += seg[1]
+
+        # compacted segments get FRESH never-colliding names: the new files
+        # land fully fsynced before the atomic manifest swap, which is the
+        # single commit point — a crash before it leaves the original store
+        # untouched (the orphaned new files are reclaimed by the cleanup of
+        # a later successful compact)
+        def free_seg_index(n: int) -> int:
+            while os.path.exists(self._file(f"seg_{n:05d}", ".bin")) or os.path.exists(
+                os.path.join(self.directory, f"seg_{n:05d}.npy")
+            ):
+                n += 1
+            return n
+
+        kept = dropped = 0
+        new_segs: List[Tuple[str, int, str]] = []
+        next_n = free_seg_index(len(segs))
+        base = 0
+        for seg in segs:
+            paths = self._read_seg_paths(seg)
+            rows = self._read_seg_rows(seg)
+            live = [
+                i
+                for i, p in enumerate(paths)
+                if base + i == last_row[p] and base + i >= last_at.get(p, -1)
+            ]
+            base += seg[1]
+            dropped += len(paths) - len(live)
+            if not live:
+                continue
+            name = f"seg_{next_n:05d}"
+            next_n = free_seg_index(next_n + 1)
+            with open(self._file(name, ".bin"), "wb") as f:
+                f.write(np.ascontiguousarray(rows[live], dtype="<f4").tobytes())
+                f.flush()
+                os.fsync(f.fileno())
+            with open(self._file(name, ".paths"), "w") as f:
+                for i in live:
+                    f.write(json.dumps(paths[i]) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            new_segs.append((name, len(live), "bin"))
+            kept += len(live)
+
+        old_names = [n for n, _, _ in segs]
+        self._sealed = new_segs
+        self._rows = kept
+        self._start_active(next_n)  # fresh active + ATOMIC manifest = commit
+        # committed: drop tombstones and the dead segment files
+        tpath = os.path.join(self.directory, self.TOMBSTONES)
+        if os.path.exists(tpath):
+            os.remove(tpath)
+        for name in old_names:
+            for suffix in (".bin", ".paths", ".npy", ".paths.json"):
+                f = os.path.join(self.directory, name + suffix)
+                if os.path.exists(f):
+                    os.remove(f)
+        log.info("store compacted: %d rows kept, %d dropped", kept, dropped)
+        return kept, dropped
+
     def iter_shards(self) -> Iterator[Tuple[List[str], np.ndarray]]:
         """Stream (paths, [n, dim] f32 rows) per segment — bounded memory."""
         for seg in self._sealed:

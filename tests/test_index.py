@@ -642,3 +642,75 @@ def test_remove_int8_rows(rng):
     idx.remove_paths(paths[:128])
     _, i = idx.search(rng.normal(size=DIM).astype(np.float32), k=20)
     assert set(i.reshape(-1).tolist()).isdisjoint(set(range(128)))
+
+
+def test_store_compact_drops_tombstoned_rows(tmp_path, rng):
+    """compact() rewrites the store without dead rows, clears the tombstone
+    log, and a rebuilt index sees the identical live corpus with ZERO
+    tombstone penalties (dead rows' memory reclaimed)."""
+    import os
+
+    paths, emb = make_data(rng, 200)
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=64)  # several segments
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+    idx.remove_paths(paths[30:90])
+    idx.add([paths[40]], emb[40:41])  # re-add after tombstone: stays live
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    s_before, i_before = idx.search(q, k=40)
+    live_before = sorted(idx.live_paths())
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=64)
+    kept, dropped = store2.compact()
+    # store held 201 rows (200 + the re-add); 60 are dead (rows 30..89,
+    # incl. the SUPERSEDED old row for path 40 — its re-add row lives)
+    assert kept == 141
+    assert dropped == 60
+    assert not os.path.exists(tmp_path / "tombstones.jsonl")
+
+    store3 = EmbeddingStore(str(tmp_path), DIM, seg_rows=64)
+    idx3 = VectorIndex.from_store(store3)
+    assert idx3.removed_count == 0
+    assert sorted(idx3.live_paths()) == live_before
+    s_after, i_after = idx3.search(q, k=40)
+    np.testing.assert_allclose(s_before, s_after, rtol=1e-5, atol=1e-5)
+    # paths agree row-for-row even though global ids were renumbered
+    for b in range(2):
+        assert [idx3.paths[int(i)] for i in i_after[b]] == [
+            idx.paths[int(i)] for i in i_before[b]
+        ]
+
+    # appends still work post-compaction and dedup respects the live set
+    more_paths = [f"/pics/new_{i}.jpg" for i in range(5)]
+    assert idx3.add(more_paths, emb[:5]) == 5
+    assert idx3.add([paths[0]], emb[0:1]) == 0  # still-live path dedups
+
+
+def test_store_compact_noop_without_tombstones(tmp_path, rng):
+    paths, emb = make_data(rng, 50)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    store.append(paths, emb)
+    kept, dropped = store.compact()
+    assert (kept, dropped) == (50, 0)
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    got_paths, _ = store2.load_all()
+    assert got_paths == paths
+
+
+def test_compact_store_cli(tmp_path, rng):
+    import subprocess
+    import sys as _sys
+
+    paths, emb = make_data(rng, 40)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+    idx.remove_paths(paths[:10])
+    out = subprocess.run(
+        [_sys.executable, "tools/compact_store.py", "--index-dir", str(tmp_path)],
+        capture_output=True, text=True, check=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "30 rows kept, 10 dropped" in out.stdout
+    idx2 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
+    assert len(idx2) == 30 and idx2.removed_count == 0
