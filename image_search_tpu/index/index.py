@@ -273,28 +273,24 @@ class VectorIndex:
         else:
             self._append_slab(self._cap_multiple)
         if store is not None and len(store):
-            # replay appends and tombstones in true order (``at`` = store
-            # rows at deletion time): a path re-appended after its
-            # tombstone must come back live, and vice versa
-            tombs = store.load_tombstones()
-            ti, base = 0, 0
+            # dead rows (tombstoned, or superseded by a later re-append)
+            # are skipped OUTRIGHT: the restored index carries no penalty
+            # slabs and no dead rows' HBM, and restore stays one bulk
+            # append per segment regardless of tombstone count
+            live_mask, _ = store.liveness()
+            base, skipped = 0, 0
             for paths, emb in store.iter_shards():
-                n, lo = len(paths), 0
-                while ti < len(tombs) and tombs[ti][0] <= base + n:
-                    cut = max(0, min(n, tombs[ti][0] - base))
-                    if cut > lo:
-                        self._add_in_memory(paths[lo:cut], emb[lo:cut])
-                        lo = cut
-                    self._remove_in_memory([tombs[ti][1]])
-                    ti += 1
-                if lo < n:
-                    self._add_in_memory(paths[lo:], emb[lo:])
-                base += n
-            for _, tp in tombs[ti:]:
-                self._remove_in_memory([tp])
+                if live_mask is None:
+                    self._add_in_memory(paths, emb)
+                else:
+                    keep = [i for i in range(len(paths)) if live_mask[base + i]]
+                    skipped += len(paths) - len(keep)
+                    if keep:
+                        self._add_in_memory([paths[i] for i in keep], emb[keep])
+                base += len(paths)
             log.info(
-                "index restored from %s: %d live vectors (%d tombstoned)",
-                store.directory, len(self), self._removed,
+                "index restored from %s: %d live vectors (%d dead rows skipped)",
+                store.directory, self._size, skipped,
             )
 
     # -- construction helpers ------------------------------------------------

@@ -61,34 +61,68 @@ class EmbeddingStore:
         self._active: str = ""
         self._active_rows = 0
         self._rows = 0
+        # tombstone generation: bumped atomically (in the manifest) by
+        # compact(); tombstone records from older generations are stale —
+        # their ``at`` values refer to pre-compaction row numbering — and
+        # are ignored, so a crash between compact's manifest commit and the
+        # tombstone-log removal can never corrupt liveness
+        self._tomb_gen = 0
         self._path_set: Set[str] = set()
         os.makedirs(directory, exist_ok=True)
         self._load()
         self._apply_tombstones_to_path_set()
 
-    def _apply_tombstones_to_path_set(self) -> None:
-        """A path is store-live iff its LAST append row is >= its last
-        tombstone's ``at`` (appends after the tombstone re-add it). Only
-        walks segment paths again when tombstones actually exist."""
+    def _all_segs(self) -> List[Tuple[str, int, str]]:
+        segs = list(self._sealed)
+        if self._active_rows:
+            segs.append((self._active, self._active_rows, "bin"))
+        return segs
+
+    def liveness(self):
+        """Single source of truth for tombstone semantics.
+
+        Returns (live_rows, dead_paths): ``live_rows`` is a per-store-row
+        boolean array (None when no tombstones exist — everything lives),
+        ``dead_paths`` the set of paths with no surviving row. A row is
+        live iff it is its path's LAST occurrence and that occurrence is at
+        or after the path's last tombstone ``at`` (append dedup guarantees
+        at most one occurrence at-or-after the last tombstone; duplicates
+        exist only for re-added-after-tombstone paths)."""
         tombs = self.load_tombstones()
         if not tombs:
-            return
+            return None, set()
         last_at: dict = {}
         for at, p in tombs:
             last_at[p] = at
         last_row: dict = {}
         base = 0
-        segs = list(self._sealed)
-        if self._active_rows:
-            segs.append((self._active, self._active_rows, "bin"))
+        segs = self._all_segs()
         for seg in segs:
             for i, p in enumerate(self._read_seg_paths(seg)):
                 if p in last_at:
                     last_row[p] = base + i
             base += seg[1]
+        live = np.ones(base, bool)
+        dead_paths = set()
         for p, at in last_at.items():
             if last_row.get(p, -1) < at:
-                self._path_set.discard(p)
+                dead_paths.add(p)
+        # mark every occurrence of a tombstoned path dead except a live
+        # last occurrence
+        base = 0
+        for seg in segs:
+            for i, p in enumerate(self._read_seg_paths(seg)):
+                if p in last_at:
+                    g = base + i
+                    if not (g == last_row[p] and g >= last_at[p]):
+                        live[g] = False
+            base += seg[1]
+        return live, dead_paths
+
+    def _apply_tombstones_to_path_set(self) -> None:
+        _, dead = self.liveness()
+        for p in dead:
+            self._path_set.discard(p)
 
     # -- persistence --------------------------------------------------------
 
@@ -105,6 +139,7 @@ class EmbeddingStore:
                 m = json.load(f)
             if m["dim"] != self.dim:
                 raise ValueError(f"store dim {m['dim']} != requested {self.dim}")
+            self._tomb_gen = m.get("tombstone_gen", 0)
             if m.get("version", 1) == 1:
                 # v1: every shard is a sealed npy segment
                 for shard in m["shards"]:
@@ -188,6 +223,7 @@ class EmbeddingStore:
                     {"name": n, "rows": r, "format": fmt} for n, r, fmt in self._sealed
                 ],
                 "active": self._active,
+                "tombstone_gen": self._tomb_gen,
             }
         )
         fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
@@ -286,7 +322,10 @@ class EmbeddingStore:
             for p in paths:
                 if p in self._path_set:
                     self._path_set.discard(p)
-                    f.write(json.dumps({"at": self._rows, "p": p}) + "\n")
+                    f.write(
+                        json.dumps({"at": self._rows, "p": p, "gen": self._tomb_gen})
+                        + "\n"
+                    )
                     recorded += 1
             if recorded:
                 f.flush()
@@ -294,7 +333,10 @@ class EmbeddingStore:
         return recorded
 
     def load_tombstones(self) -> List[Tuple[int, str]]:
-        """All tombstone records in append order as (at_row_count, path)."""
+        """Current-generation tombstone records in append order as
+        (at_row_count, path). Records from older generations are stale
+        leftovers of a compact() that crashed after its manifest commit —
+        their row coordinates no longer apply — and are dropped."""
         out: List[Tuple[int, str]] = []
         tp = os.path.join(self.directory, self.TOMBSTONES)
         if os.path.exists(tp):
@@ -307,7 +349,8 @@ class EmbeddingStore:
                         d = json.loads(ln)
                     except ValueError:
                         break  # torn final line from a crash mid-append
-                    out.append((int(d["at"]), d["p"]))
+                    if d.get("gen", 0) == self._tomb_gen:
+                        out.append((int(d["at"]), d["p"]))
         return out
 
     def compact(self) -> Tuple[int, int]:
@@ -316,34 +359,21 @@ class EmbeddingStore:
         directory): after compaction + restart the index carries zero
         tombstone penalties and the dead rows' HBM/disk is reclaimed.
 
-        Returns (rows_kept, rows_dropped). Crash-safe: new segments are
-        written under temporary names and the manifest swap is atomic — a
-        crash mid-compaction leaves the original store fully intact.
+        Returns (rows_kept, rows_dropped). Crash-safe: new segments land
+        fully fsynced under FRESH never-colliding names, then ONE atomic
+        manifest write commits the compaction AND bumps the tombstone
+        generation — so even if the crash happens before the tombstone log
+        is deleted, the stale records (whose ``at`` values are in the OLD
+        row numbering) are ignored by the generation filter. A crash before
+        the manifest write leaves the original store untouched; any
+        orphaned new files are reclaimed by ``_sweep_unreferenced``.
         """
-        tombs = self.load_tombstones()
-        if not tombs:
+        live_mask, _ = self.liveness()
+        if live_mask is None:
+            self._sweep_unreferenced()
             return self._rows, 0
-        last_at: dict = {}
-        for at, p in tombs:
-            last_at[p] = at
-        # a row is live iff it is its path's LAST occurrence and not
-        # superseded by a later tombstone (append dedup guarantees at most
-        # one occurrence at-or-after the last tombstone)
-        last_row: dict = {}
-        base = 0
-        segs = list(self._sealed)
-        if self._active_rows:
-            segs.append((self._active, self._active_rows, "bin"))
-        for seg in segs:
-            for i, p in enumerate(self._read_seg_paths(seg)):
-                last_row[p] = base + i
-            base += seg[1]
+        segs = self._all_segs()
 
-        # compacted segments get FRESH never-colliding names: the new files
-        # land fully fsynced before the atomic manifest swap, which is the
-        # single commit point — a crash before it leaves the original store
-        # untouched (the orphaned new files are reclaimed by the cleanup of
-        # a later successful compact)
         def free_seg_index(n: int) -> int:
             while os.path.exists(self._file(f"seg_{n:05d}", ".bin")) or os.path.exists(
                 os.path.join(self.directory, f"seg_{n:05d}.npy")
@@ -358,11 +388,7 @@ class EmbeddingStore:
         for seg in segs:
             paths = self._read_seg_paths(seg)
             rows = self._read_seg_rows(seg)
-            live = [
-                i
-                for i, p in enumerate(paths)
-                if base + i == last_row[p] and base + i >= last_at.get(p, -1)
-            ]
+            live = [i for i in range(len(paths)) if live_mask[base + i]]
             base += seg[1]
             dropped += len(paths) - len(live)
             if not live:
@@ -381,21 +407,29 @@ class EmbeddingStore:
             new_segs.append((name, len(live), "bin"))
             kept += len(live)
 
-        old_names = [n for n, _, _ in segs]
         self._sealed = new_segs
         self._rows = kept
+        self._tomb_gen += 1  # invalidates every existing tombstone record
         self._start_active(next_n)  # fresh active + ATOMIC manifest = commit
-        # committed: drop tombstones and the dead segment files
+        # committed: everything below is pure cleanup
         tpath = os.path.join(self.directory, self.TOMBSTONES)
         if os.path.exists(tpath):
             os.remove(tpath)
-        for name in old_names:
-            for suffix in (".bin", ".paths", ".npy", ".paths.json"):
-                f = os.path.join(self.directory, name + suffix)
-                if os.path.exists(f):
-                    os.remove(f)
+        self._sweep_unreferenced()
         log.info("store compacted: %d rows kept, %d dropped", kept, dropped)
         return kept, dropped
+
+    def _sweep_unreferenced(self) -> None:
+        """Delete segment files the manifest doesn't reference — dead
+        pre-compaction segments and orphans of compactions that crashed
+        before their manifest commit."""
+        keep = {n for n, _, _ in self._sealed} | {self._active}
+        for fname in os.listdir(self.directory):
+            stem, dot, _ = fname.partition(".")
+            if not dot or fname == self.MANIFEST or fname == self.TOMBSTONES:
+                continue
+            if (stem.startswith("seg_") or stem.startswith("shard_")) and stem not in keep:
+                os.remove(os.path.join(self.directory, fname))
 
     def iter_shards(self) -> Iterator[Tuple[List[str], np.ndarray]]:
         """Stream (paths, [n, dim] f32 rows) per segment — bounded memory."""

@@ -21,6 +21,7 @@ import numpy as np
 
 from image_search_tpu.config import get_config
 from image_search_tpu.index import EmbeddingStore, VectorIndex
+from image_search_tpu.index.index import NEG_INF
 from image_search_tpu.ingest.pipeline import ScanStats, scan_directory
 from image_search_tpu.models.convert import load_checkpoint
 from image_search_tpu.models.embedder import ClipEmbedder
@@ -265,9 +266,9 @@ class SearchEngine:
         for row, score in zip(
             np.asarray(idx_row).reshape(-1), np.asarray(scores_row).reshape(-1)
         ):
-            if score < -1e30:
+            if score <= NEG_INF / 2:
                 # sentinel rows: k exceeded the live corpus (tombstoned or
-                # padded rows carry NEG_INF scores) — never surface them
+                # padded rows carry NEG_INF-class scores) — never surface
                 continue
             media = self.to_media_path(self.index.paths[int(row)])
             # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
@@ -308,8 +309,31 @@ class SearchEngine:
         """Tombstone indexed images whose files no longer exist on disk —
         capability the reference lacks entirely (a deleted photo keeps
         surfacing in its results forever; here `--prune-on-scan` folds
-        cleanup into the rescan the user already triggers)."""
-        missing = [p for p in self.index.live_paths() if not os.path.exists(p)]
+        cleanup into the rescan the user already triggers).
+
+        Uses ONE directory walk (readdir-bound) instead of stat-ing every
+        indexed path, and refuses to prune when the media tree looks
+        unavailable — a down NAS mount must not durably tombstone the
+        whole corpus."""
+        from image_search_tpu.ingest.walk import iter_images
+
+        live = self.index.live_paths()
+        if not live:
+            return 0
+        if not os.path.isdir(self.media_dir):
+            log.warning(
+                "prune skipped: media dir %s is missing/unmounted", self.media_dir
+            )
+            return 0
+        found = set(iter_images(self.media_dir))
+        if not found:
+            log.warning(
+                "prune skipped: media dir %s yielded ZERO images while the "
+                "index holds %d — treating as unavailable, not emptied",
+                self.media_dir, len(live),
+            )
+            return 0
+        missing = [p for p in live if p not in found]
         n = self.index.remove_paths(missing) if missing else 0
         if n:
             global_metrics.inc("pruned_missing", n)

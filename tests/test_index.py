@@ -609,7 +609,8 @@ def test_tombstones_survive_restart(tmp_path, rng):
     store2 = EmbeddingStore(str(tmp_path), DIM)
     idx2 = VectorIndex.from_store(store2)
     assert len(idx2) == len(idx) == 81
-    assert idx2.removed_count == 20
+    # restore SKIPS dead rows outright (no penalty slabs, no dead HBM)
+    assert idx2.removed_count == 0
     assert not idx2.has_path(paths[3])
     assert idx2.has_path(paths[7])
     q = rng.normal(size=DIM).astype(np.float32)
@@ -714,3 +715,57 @@ def test_compact_store_cli(tmp_path, rng):
     assert "30 rows kept, 10 dropped" in out.stdout
     idx2 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
     assert len(idx2) == 30 and idx2.removed_count == 0
+
+
+def test_stale_tombstones_ignored_after_compact_crash(tmp_path, rng):
+    """Round-2 review finding: a crash between compact's manifest commit and
+    the tombstone-log deletion must NOT let stale records (old-generation
+    row coordinates) kill live rows on restore."""
+    import os
+    import shutil
+
+    paths, emb = make_data(rng, 30)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+    idx.remove_paths([paths[10]])
+    idx.add([paths[10]], emb[10:11])  # re-added: live at store row 31
+
+    tomb_file = os.path.join(str(tmp_path), EmbeddingStore.TOMBSTONES)
+    stale = open(tomb_file).read()
+    EmbeddingStore(str(tmp_path), DIM).compact()
+    assert not os.path.exists(tomb_file)
+    # simulate the crash window: the old tombstone log survives the commit
+    with open(tomb_file, "w") as f:
+        f.write(stale)
+
+    idx2 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
+    assert idx2.has_path(paths[10])  # stale record ignored (old generation)
+    assert len(idx2) == 30
+    # and a second compact must not delete the live row's data
+    EmbeddingStore(str(tmp_path), DIM).compact()
+    idx3 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
+    assert idx3.has_path(paths[10]) and len(idx3) == 30
+
+
+def test_compact_sweeps_orphan_segments(tmp_path, rng):
+    """Orphaned segment files from a compaction that crashed BEFORE its
+    manifest commit are reclaimed by the next successful compact."""
+    import os
+
+    paths, emb = make_data(rng, 20)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+    idx.remove_paths(paths[:5])
+    # orphan files no manifest references (a crashed compact attempt)
+    open(tmp_path / "seg_00099.bin", "wb").write(b"\x00" * 256)
+    open(tmp_path / "seg_00099.paths", "w").write('"/pics/orphan.jpg"\n')
+
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    kept, dropped = store2.compact()
+    assert (kept, dropped) == (15, 5)
+    assert not os.path.exists(tmp_path / "seg_00099.bin")
+    assert not os.path.exists(tmp_path / "seg_00099.paths")
+    idx2 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
+    assert len(idx2) == 15 and not idx2.has_path("/pics/orphan.jpg")

@@ -307,3 +307,38 @@ def test_prune_on_scan_removes_deleted_files(tmp_path):
     res3 = eng2.search("anything")
     assert victim not in [r["image_path"] for r in res3]
     assert len(res3) == 4
+
+
+def test_prune_refuses_when_media_tree_unavailable(tmp_path):
+    """Round-2 review finding: a down NAS mount (media dir missing OR
+    yielding zero images) must NOT durably tombstone the whole corpus."""
+    import shutil
+
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=3)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        prune_on_scan=True,
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    assert len(eng.search("x")) == 3
+
+    # "unmounted": the directory vanishes entirely
+    shutil.rmtree(media)
+    assert eng.prune_missing() == 0
+    assert len(eng.search("x")) == 3
+
+    # "mounted but empty" (0 images while the index holds rows): refuse too
+    os.makedirs(media)
+    assert eng.prune_missing() == 0
+    assert len(eng.search("x")) == 3
+
+    # a REAL partial deletion still prunes
+    make_corpus(media, n=3)
+    os.remove(os.path.join(media, "photo_0.jpg"))
+    assert eng.prune_missing() == 1
+    assert len(eng.search("x")) == 2
