@@ -152,6 +152,26 @@ def build_app(
             return web.Response(status=500)
         return web.json_response({"images": images})
 
+    async def remove(request: web.Request) -> web.Response:
+        """POST /remove {"images": ["media/...", ...]} -> {"removed": n}.
+
+        Explicit durable deletion (tombstones; reclaim space later with
+        tools/compact_store.py). Extension endpoint — the reference has no
+        deletion at all; selections resolve exactly like referenced_images
+        in /search."""
+        try:
+            body = await request.json()
+            images = list(body["images"])
+        except Exception:
+            return web.json_response({"error": 'expected {"images": [...]}'}, status=400)
+        resolved = [
+            p
+            for p in (engine._resolve_selection(m) for m in images)
+            if p is not None
+        ]
+        n = await asyncio.to_thread(engine.index.remove_paths, resolved)
+        return web.json_response({"removed": n})
+
     async def scan(request: web.Request) -> web.Response:
         # single-flight like the reference's awaited spawn (search.rs:108-118);
         # concurrent scans would double-decode the same files
@@ -190,6 +210,7 @@ def build_app(
         )
 
     app.router.add_post("/search", search)
+    app.router.add_post("/remove", remove)
     app.router.add_get("/scan", scan)
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)

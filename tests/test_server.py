@@ -342,3 +342,33 @@ def test_prune_refuses_when_media_tree_unavailable(tmp_path):
     os.remove(os.path.join(media, "photo_0.jpg"))
     assert eng.prune_missing() == 1
     assert len(eng.search("x")) == 2
+
+
+def test_remove_endpoint(client):
+    """POST /remove tombstones by media path; results shrink accordingly.
+
+    Runs LAST in this module: it mutates the shared module-scope corpus.
+    """
+    c, loop = client
+
+    async def flow():
+        r = await c.get("/scan")
+        assert r.status == 200
+        r = await c.post("/search", json={"q": "x", "referenced_images": []})
+        images = (await r.json())["images"]
+        n0 = len(images)
+        victim = images[0]["image_path"]
+
+        r = await c.post("/remove", json={"images": [victim]})
+        assert r.status == 200 and (await r.json())["removed"] == 1
+        r = await c.post("/search", json={"q": "x", "referenced_images": []})
+        after = (await r.json())["images"]
+        assert len(after) == n0 - 1
+        assert victim not in [im["image_path"] for im in after]
+
+        # bad body -> 400; unknown path -> removed 0
+        assert (await c.post("/remove", json={"nope": 1})).status == 400
+        r = await c.post("/remove", json={"images": ["media/ghost.jpg"]})
+        assert (await r.json())["removed"] == 0
+
+    loop.run_until_complete(flow())
