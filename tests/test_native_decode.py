@@ -188,3 +188,67 @@ def test_gif_huge_frame_dims_rejected():
     img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 0xFFFF, 0xFFFF, 0)
     data = b"GIF89a" + screen + gct + img + b"\x02\x01\x00\x00" + b"\x3b"
     assert native_decode.decode_bytes(data) is None  # rejected, no crash
+
+
+def test_fuzz_garbage_never_crashes(rng):
+    """Random garbage and truncated real files must return None (PIL
+    fallback handles them or the image is skipped) — never crash the
+    process hosting the C decoder."""
+    # pure noise with each magic prefix (routes into every parser)
+    magics = [
+        b"\xff\xd8\xff",  # JPEG
+        b"\x89PNG\r\n\x1a\n",  # PNG
+        b"RIFF\x20\x00\x00\x00WEBP",  # WebP
+        b"GIF89a",  # GIF
+        b"BM",  # BMP
+        b"II*\x00",  # TIFF LE
+        b"MM\x00*",  # TIFF BE
+        b"",  # no magic at all
+    ]
+    for magic in magics:
+        for size in (0, 1, 7, 64, 4096):
+            blob = magic + rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            assert native_decode.decode_bytes(blob) is None or True  # no crash
+
+    # truncations of a real file at every boundary class
+    arr = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    for maker in (jpeg_bytes, png_bytes):
+        real = maker(arr)
+        for cut in (2, 10, len(real) // 4, len(real) // 2, len(real) - 3):
+            native_decode.decode_bytes(real[:cut])  # must not crash
+
+
+def test_fuzz_structured_bmp_gif_headers(rng):
+    """Structured fuzz of the two FROM-SCRATCH parsers: syntactically valid
+    headers with random field values (dims, bpp, offsets, compression,
+    palette sizes, LZW codes) must decode or cleanly reject — never crash
+    or overread (run under ASan in native/Makefile `make asan` to verify
+    memory safety)."""
+    import struct
+
+    for _ in range(300):
+        # BMP: BM + random header fields + random tail
+        vals = rng.integers(0, 2**31 - 1, size=10, dtype=np.int64)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            int(rng.choice([40, 56, 108, 124])),  # header size variants
+            int(vals[0] % 100000) - 50000,
+            int(vals[1] % 100000) - 50000,
+            1,
+            int(rng.choice([0, 1, 4, 8, 16, 24, 32, 64])),
+            int(rng.choice([0, 1, 2, 3, 6])),
+            0, 2835, 2835,
+            int(vals[2] % 1024),
+            0,
+        )
+        tail = rng.integers(0, 256, size=int(vals[3] % 256), dtype=np.uint8).tobytes()
+        blob = b"BM" + struct.pack("<IHHI", 54 + len(tail), 0, 0, int(vals[4] % 128)) + info + tail
+        native_decode.decode_bytes(blob)
+
+        # GIF: valid signature + random screen/descriptor/LZW stream
+        screen = struct.pack(
+            "<HHBBB", int(vals[5] % 512), int(vals[6] % 512),
+            int(vals[7] % 256), 0, 0,
+        )
+        body = rng.integers(0, 256, size=int(vals[8] % 512), dtype=np.uint8).tobytes()
+        native_decode.decode_bytes(b"GIF89a" + screen + body)
