@@ -179,7 +179,7 @@ def config4_10m_int8(small: bool):
     import jax
     import jax.numpy as jnp
 
-    from image_search_tpu.index.index import _search_local, _write_block
+    from image_search_tpu.index.index import _search_local
     from image_search_tpu.parallel.sharded_search import quantize_rows_int8
 
     n = 200_000 if small else 10_000_000
@@ -191,12 +191,24 @@ def config4_10m_int8(small: bool):
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
         return quantize_rows_int8(e)
 
+    # DONATED writes: this offline build has no concurrent readers, and the
+    # index's non-donating _write_block would double-buffer the 7.7 GB slab
+    # (15.4 GB transient = device OOM when run after configs 1-3's leftover
+    # executables in the same process — observed round 2)
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_donated(buf, block, offset):
+        return jax.lax.dynamic_update_slice(
+            buf, block, (offset,) + (0,) * (buf.ndim - 1)
+        )
+
     buf = jnp.zeros((n, dim), jnp.int8)
     scl = jnp.zeros((n,), jnp.float32)
     for i in range(n // ch):
         qi, sc = gen_chunk(jax.random.key(i))
-        buf = _write_block(buf, qi, jnp.asarray(i * ch, jnp.int32))
-        scl = _write_block(scl, sc, jnp.asarray(i * ch, jnp.int32))
+        buf = write_donated(buf, qi, jnp.asarray(i * ch, jnp.int32))
+        scl = write_donated(scl, sc, jnp.asarray(i * ch, jnp.int32))
     buf.block_until_ready()
 
     q = jnp.asarray(np.random.default_rng(1).normal(size=(1, dim)).astype(np.float32))
@@ -269,11 +281,14 @@ def main():
     import jax
 
     log(f"device: {jax.devices()[0]}")
+    import gc
+
     for c in [int(x) for x in args.configs.split(",")]:
         try:
             CONFIGS[c](args.small)
         except Exception as err:
             emit(c, "error", error=f"{type(err).__name__}: {err}")
+        gc.collect()  # drop the previous config's device buffers promptly
 
 
 if __name__ == "__main__":
