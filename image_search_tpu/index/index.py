@@ -663,6 +663,49 @@ class VectorIndex:
             )
         return np.asarray(s)[:B], np.asarray(i)[:B]
 
+    def find_near_duplicates(
+        self,
+        threshold: float = 0.95,
+        neighbors: int = 8,
+        batch: int = 1024,
+        approx: bool = False,
+    ):
+        """Near-duplicate pairs by cosine similarity: every live row is
+        queried against the index in device-sized batches (the stored rows
+        ARE l2-normalized, so the query gather is free) and neighbor pairs
+        scoring >= threshold are returned as (row_i, row_j, score) with
+        i < j, each pair once. No reference counterpart — SurrealDB MTREE
+        could not scan itself in reasonable time; here a 1M-row corpus is
+        ~1k fused batched searches."""
+        with self._lock:
+            rows = sorted(self._row.values())
+            if not rows:
+                return []
+            slabs, norms, scales, pens = self._snapshot()
+            size = jnp.asarray(self._size, jnp.int32)
+        k = min(neighbors + 1, self._size)  # +1: self-match is always there
+        out = []
+        for lo in range(0, len(rows), batch):
+            chunk = rows[lo : lo + batch]
+            idx = np.full((batch,), chunk[-1], np.int64)
+            idx[: len(chunk)] = chunk
+            q = _gather_rows(slabs, scales, jnp.asarray(idx))  # normalized f32
+            if self.mesh is None:
+                sc, nb = _search_local(slabs, size, q, k, scales, approx, pens)
+            else:
+                sc, nb = _sharded_search_fn(self.mesh, k, approx)(
+                    slabs, size, q, scales, pens
+                )
+            sc, nb = np.asarray(sc), np.asarray(nb)
+            for b, r in enumerate(chunk):
+                for j, scv in zip(nb[b], sc[b]):
+                    j = int(j)
+                    if j == r or scv < threshold:
+                        continue
+                    if r < j:
+                        out.append((r, j, float(scv)))
+        return out
+
     # -- lookups ---------------------------------------------------------------
 
     def paths_for(self, indices: np.ndarray) -> List[str]:

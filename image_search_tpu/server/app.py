@@ -172,6 +172,20 @@ def build_app(
         n = await asyncio.to_thread(engine.index.remove_paths, resolved)
         return web.json_response({"removed": n})
 
+    async def duplicates(request: web.Request) -> web.Response:
+        """GET /duplicates[?threshold=0.95] -> {"groups": [["media/.."]]}.
+
+        Extension endpoint: near-duplicate photo groups by embedding
+        cosine (the reference has no counterpart)."""
+        try:
+            threshold = float(request.query.get("threshold", "0.95"))
+        except ValueError:
+            return web.json_response({"error": "bad threshold"}, status=400)
+        if not (0.0 < threshold <= 1.0):
+            return web.json_response({"error": "threshold must be in (0, 1]"}, status=400)
+        groups = await asyncio.to_thread(engine.find_duplicate_groups, threshold)
+        return web.json_response({"groups": groups})
+
     async def scan(request: web.Request) -> web.Response:
         # single-flight like the reference's awaited spawn (search.rs:108-118);
         # concurrent scans would double-decode the same files
@@ -211,6 +225,7 @@ def build_app(
 
     app.router.add_post("/search", search)
     app.router.add_post("/remove", remove)
+    app.router.add_get("/duplicates", duplicates)
     app.router.add_get("/scan", scan)
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)

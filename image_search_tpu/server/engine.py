@@ -305,6 +305,36 @@ class SearchEngine:
         self._cache_put(query, emb)
         return emb
 
+    def find_duplicate_groups(self, threshold: float = 0.95):
+        """Near-duplicate photo groups (cosine >= threshold), as lists of
+        'media/...' paths sorted largest-group first. Union-find over the
+        index's batched self-scan; a capability the reference's
+        out-of-process approximate index cannot offer at all."""
+        with global_metrics.timer("duplicate_scan"):
+            pairs = self.index.find_near_duplicates(threshold=threshold)
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for i, j, _ in pairs:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[ri] = rj
+        groups: dict = {}
+        for i, j, _ in pairs:
+            groups.setdefault(find(i), set()).update((i, j))
+        out = [
+            sorted(self.to_media_path(self.index.paths[r]) for r in members)
+            for members in groups.values()
+        ]
+        out.sort(key=len, reverse=True)
+        global_metrics.inc("duplicate_scans")
+        return out
+
     def prune_missing(self) -> int:
         """Tombstone indexed images whose files no longer exist on disk —
         capability the reference lacks entirely (a deleted photo keeps

@@ -769,3 +769,45 @@ def test_compact_sweeps_orphan_segments(tmp_path, rng):
     assert not os.path.exists(tmp_path / "seg_00099.paths")
     idx2 = VectorIndex.from_store(EmbeddingStore(str(tmp_path), DIM))
     assert len(idx2) == 15 and not idx2.has_path("/pics/orphan.jpg")
+
+
+# --- near-duplicate detection (no reference counterpart) ---
+
+
+def test_find_near_duplicates(rng):
+    paths, emb = make_data(rng, 400)
+    # plant three exact-duplicate pairs and one triple (scaled copies:
+    # cosine 1.0 regardless of norm)
+    emb[100] = emb[7] * 2.0
+    emb[200] = emb[55] * 0.5
+    emb[300] = emb[55] * 3.0
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    pairs = idx.find_near_duplicates(threshold=0.999, batch=128)
+    got = {(i, j) for i, j, _ in pairs}
+    assert (7, 100) in got
+    assert {(55, 200), (55, 300), (200, 300)} <= got
+    # random gaussian rows at DIM=64 essentially never hit 0.999
+    assert len(got) == 4
+    for i, j, s in pairs:
+        assert i < j and s >= 0.999
+
+
+def test_find_near_duplicates_skips_tombstoned(rng):
+    paths, emb = make_data(rng, 100)
+    emb[50] = emb[10]
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    assert {(i, j) for i, j, _ in idx.find_near_duplicates(0.999)} == {(10, 50)}
+    idx.remove_paths([paths[50]])
+    assert idx.find_near_duplicates(0.999) == []
+
+
+def test_find_near_duplicates_sharded_and_int8(rng):
+    paths, emb = make_data(rng, 512)
+    emb[300] = emb[20] * 1.5
+    for kwargs in ({"mesh": make_mesh(8, 1)}, {"quantize": "int8"}):
+        idx = VectorIndex(DIM, **kwargs)
+        idx.add(paths, emb)
+        got = {(i, j) for i, j, _ in idx.find_near_duplicates(0.995, batch=256)}
+        assert (20, 300) in got

@@ -372,3 +372,44 @@ def test_remove_endpoint(client):
         assert (await r.json())["removed"] == 0
 
     loop.run_until_complete(flow())
+
+
+def test_duplicates_endpoint(tmp_path):
+    """GET /duplicates groups identical photos; thresholds validated."""
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(os.path.join(media, "orig.png"))
+    Image.fromarray(arr).save(os.path.join(media, "copy.png"))  # exact dup
+    Image.fromarray(
+        rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    ).save(os.path.join(media, "other.png"))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+
+    groups = eng.find_duplicate_groups(threshold=0.999)
+    assert groups == [["media/copy.png", "media/orig.png"]]
+
+    loop = asyncio.new_event_loop()
+
+    async def drive():
+        c = TestClient(TestServer(build_app(eng)))
+        await c.start_server()
+        try:
+            r = await c.get("/duplicates", params={"threshold": "0.999"})
+            assert r.status == 200
+            assert (await r.json())["groups"] == [["media/copy.png", "media/orig.png"]]
+            assert (await c.get("/duplicates", params={"threshold": "2"})).status == 400
+            assert (await c.get("/duplicates", params={"threshold": "x"})).status == 400
+        finally:
+            await c.close()
+
+    loop.run_until_complete(drive())
+    loop.close()
