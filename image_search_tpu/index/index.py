@@ -533,7 +533,7 @@ class VectorIndex:
             self._removed += len(rows)
             return len(rows), removed
 
-    def remove_paths(self, paths: Sequence[str]) -> int:
+    def remove_paths(self, paths: Sequence[str], exclude: bool = False) -> int:
         """Tombstone rows by path: they stop appearing in every search path
         (local, sharded, Rocchio) immediately, and — with a store attached —
         stay removed across restarts. Rows are masked, not compacted (the
@@ -541,11 +541,16 @@ class VectorIndex:
         inserts a fresh live row. The reference has no deletion at all: a
         removed photo keeps surfacing there forever.
 
+        ``exclude=True`` (explicit user deletion) additionally marks the
+        paths excluded in the store: rescans skip them even while the
+        files exist on disk (see EmbeddingStore.tombstone). Plain removal
+        (prune of vanished files) stays resurrectable by rescan.
+
         Returns the number of rows actually removed."""
         with self._lock:
             n, removed = self._remove_in_memory(paths)
             if removed and self.store is not None:
-                self.store.tombstone(removed)
+                self.store.tombstone(removed, exclude=exclude)
             return n
 
     # -- queries ---------------------------------------------------------------
@@ -684,7 +689,7 @@ class VectorIndex:
             slabs, norms, scales, pens = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         k = min(neighbors + 1, self._size)  # +1: self-match is always there
-        out = []
+        seen: dict = {}
         for lo in range(0, len(rows), batch):
             chunk = rows[lo : lo + batch]
             idx = np.full((batch,), chunk[-1], np.int64)
@@ -702,9 +707,16 @@ class VectorIndex:
                     j = int(j)
                     if j == r or scv < threshold:
                         continue
-                    if r < j:
-                        out.append((r, j, float(scv)))
-        return out
+                    # emit BOTH orientations normalized to (min, max): in a
+                    # cluster larger than `neighbors`, top-k tie-breaking
+                    # can make high-id members visible only from their OWN
+                    # query side (review-reproduced: an 11-copy cluster
+                    # silently lost rows 39-40 under `if r < j` alone)
+                    pair = (r, j) if r < j else (j, r)
+                    prev = seen.get(pair)
+                    if prev is None or scv > prev:
+                        seen[pair] = float(scv)
+        return [(i, j, s) for (i, j), s in sorted(seen.items())]
 
     # -- lookups ---------------------------------------------------------------
 

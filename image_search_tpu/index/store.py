@@ -92,7 +92,7 @@ class EmbeddingStore:
         if not tombs:
             return None, set()
         last_at: dict = {}
-        for at, p in tombs:
+        for at, p, _x in tombs:
             last_at[p] = at
         last_row: dict = {}
         base = 0
@@ -123,6 +123,38 @@ class EmbeddingStore:
         _, dead = self.liveness()
         for p in dead:
             self._path_set.discard(p)
+
+    def clear_exclusion(self, paths: Sequence[str]) -> int:
+        """Undo explicit exclusions: appends a current-generation
+        non-excluding record per path, so ``excluded_paths()`` stops
+        reporting it and the next rescan re-embeds the file. Liveness is
+        unchanged (the paths have no surviving rows either way)."""
+        excluded = self.excluded_paths()
+        todo = [p for p in paths if p in excluded]
+        if not todo:
+            return 0
+        with open(os.path.join(self.directory, self.TOMBSTONES), "a") as f:
+            for p in todo:
+                f.write(
+                    json.dumps({"at": self._rows, "p": p, "gen": self._tomb_gen})
+                    + "\n"
+                )
+            f.flush()
+            os.fsync(f.fileno())
+        return len(todo)
+
+    def excluded_paths(self) -> Set[str]:
+        """Paths explicitly removed (tombstone ``exclude=True``) and not
+        re-appended since: rescans must skip these even though the files
+        may still exist on disk."""
+        tombs = self.load_tombstones()
+        if not tombs:
+            return set()
+        last_x: dict = {}
+        for at, p, x in tombs:
+            last_x[p] = x  # the LAST record's flag decides
+        _, dead = self.liveness()
+        return {p for p in dead if last_x.get(p)}
 
     # -- persistence --------------------------------------------------------
 
@@ -310,34 +342,42 @@ class EmbeddingStore:
 
     TOMBSTONES = "tombstones.jsonl"
 
-    def tombstone(self, paths: Sequence[str]) -> int:
+    def tombstone(self, paths: Sequence[str], exclude: bool = False) -> int:
         """Durably record deletions (append-only JSONL; no reference
         counterpart — the reference can never remove an image). Each record
         carries ``at`` = the store row count at deletion time, so replay can
         interleave deletions with appends in true order: a path re-appended
         AFTER its tombstone stays live. Tombstoned paths leave the dedup
-        set, so re-appending them persists a fresh row."""
+        set, so re-appending them persists a fresh row.
+
+        ``exclude=True`` (explicit user deletion, e.g. POST /remove) also
+        marks the path EXCLUDED: ``excluded_paths()`` reports it until a
+        later re-append, so rescans can skip the file even though it still
+        exists on disk — without this, the next scan would silently
+        resurrect an explicitly removed photo. Plain tombstones (prune of a
+        vanished file) stay resurrectable: if the file comes back, re-scan
+        re-adds it."""
         recorded = 0
         with open(os.path.join(self.directory, self.TOMBSTONES), "a") as f:
             for p in paths:
                 if p in self._path_set:
                     self._path_set.discard(p)
-                    f.write(
-                        json.dumps({"at": self._rows, "p": p, "gen": self._tomb_gen})
-                        + "\n"
-                    )
+                    rec = {"at": self._rows, "p": p, "gen": self._tomb_gen}
+                    if exclude:
+                        rec["x"] = 1
+                    f.write(json.dumps(rec) + "\n")
                     recorded += 1
             if recorded:
                 f.flush()
                 os.fsync(f.fileno())
         return recorded
 
-    def load_tombstones(self) -> List[Tuple[int, str]]:
+    def load_tombstones(self) -> List[Tuple[int, str, bool]]:
         """Current-generation tombstone records in append order as
-        (at_row_count, path). Records from older generations are stale
+        (at_row_count, path, excluded). Records from older generations are stale
         leftovers of a compact() that crashed after its manifest commit —
         their row coordinates no longer apply — and are dropped."""
-        out: List[Tuple[int, str]] = []
+        out: List[Tuple[int, str, bool]] = []
         tp = os.path.join(self.directory, self.TOMBSTONES)
         if os.path.exists(tp):
             with open(tp, "rb") as f:
@@ -350,7 +390,7 @@ class EmbeddingStore:
                     except ValueError:
                         break  # torn final line from a crash mid-append
                     if d.get("gen", 0) == self._tomb_gen:
-                        out.append((int(d["at"]), d["p"]))
+                        out.append((int(d["at"]), d["p"], bool(d.get("x"))))
         return out
 
     def compact(self) -> Tuple[int, int]:
@@ -372,6 +412,7 @@ class EmbeddingStore:
         if live_mask is None:
             self._sweep_unreferenced()
             return self._rows, 0
+        excluded = self.excluded_paths()  # must survive the generation bump
         segs = self._all_segs()
 
         def free_seg_index(n: int) -> int:
@@ -415,6 +456,19 @@ class EmbeddingStore:
         tpath = os.path.join(self.directory, self.TOMBSTONES)
         if os.path.exists(tpath):
             os.remove(tpath)
+        if excluded:
+            # explicit exclusions (POST /remove) outlive compaction: rewrite
+            # them as fresh-generation records with at=0 (the path has no
+            # surviving rows, so liveness is unaffected; rescans keep
+            # skipping the files)
+            with open(tpath, "a") as f:
+                for p_ex in sorted(excluded):
+                    f.write(
+                        json.dumps({"at": 0, "p": p_ex, "gen": self._tomb_gen, "x": 1})
+                        + "\n"
+                    )
+                f.flush()
+                os.fsync(f.fileno())
         self._sweep_unreferenced()
         log.info("store compacted: %d rows kept, %d dropped", kept, dropped)
         return kept, dropped

@@ -58,6 +58,7 @@ def scan_directory(
     progress: Optional[Callable[[str], None]] = None,
     process_index: int = 0,
     process_count: int = 1,
+    skip_paths=None,
 ) -> ScanStats:
     """Embed every new image under ``media_dir`` into ``index``.
 
@@ -84,8 +85,13 @@ def scan_directory(
             ]
         stats.found = len(all_paths)
 
-        # dedup before decode (clip.rs:74-87): only new paths cost anything
-        new_paths = [p for p in all_paths if not index.has_path(p)]
+        # dedup before decode (clip.rs:74-87): only new paths cost anything;
+        # skip_paths = explicitly removed images (POST /remove) that must
+        # not be resurrected while their files remain on disk
+        skip = skip_paths or ()
+        new_paths = [
+            p for p in all_paths if not index.has_path(p) and p not in skip
+        ]
         stats.skipped_existing = stats.found - len(new_paths)
         log.info(
             "Found %d images of which %d are new", stats.found, len(new_paths)

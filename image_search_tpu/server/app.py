@@ -155,35 +155,42 @@ def build_app(
     async def remove(request: web.Request) -> web.Response:
         """POST /remove {"images": ["media/...", ...]} -> {"removed": n}.
 
-        Explicit durable deletion (tombstones; reclaim space later with
-        tools/compact_store.py). Extension endpoint — the reference has no
-        deletion at all; selections resolve exactly like referenced_images
-        in /search."""
+        Explicit durable deletion: tombstoned AND excluded from rescans, so
+        the photo stays gone even while its file remains on disk (reclaim
+        space later with tools/compact_store.py). Pass "restore": true to
+        undo exclusions -> {"restored": n}; the next scan re-embeds the
+        files. Extension endpoint — the reference has no deletion at all;
+        selections resolve exactly like referenced_images in /search."""
         try:
             body = await request.json()
             images = list(body["images"])
+            restore = bool(body.get("restore", False))
         except Exception:
             return web.json_response({"error": 'expected {"images": [...]}'}, status=400)
-        resolved = [
-            p
-            for p in (engine._resolve_selection(m) for m in images)
-            if p is not None
-        ]
-        n = await asyncio.to_thread(engine.index.remove_paths, resolved)
+        if restore:
+            n = await asyncio.to_thread(engine.restore_images, images)
+            return web.json_response({"restored": n})
+        n = await asyncio.to_thread(engine.remove_images, images)
         return web.json_response({"removed": n})
+
+    dup_lock = asyncio.Lock()
 
     async def duplicates(request: web.Request) -> web.Response:
         """GET /duplicates[?threshold=0.95] -> {"groups": [["media/.."]]}.
 
         Extension endpoint: near-duplicate photo groups by embedding
-        cosine (the reference has no counterpart)."""
+        cosine (the reference has no counterpart). Single-flight like
+        /scan: the O(corpus) batched self-scan must not run concurrently
+        with itself (a double-click would double device load and stall
+        interactive searches behind it)."""
         try:
             threshold = float(request.query.get("threshold", "0.95"))
         except ValueError:
             return web.json_response({"error": "bad threshold"}, status=400)
         if not (0.0 < threshold <= 1.0):
             return web.json_response({"error": "threshold must be in (0, 1]"}, status=400)
-        groups = await asyncio.to_thread(engine.find_duplicate_groups, threshold)
+        async with dup_lock:
+            groups = await asyncio.to_thread(engine.find_duplicate_groups, threshold)
         return web.json_response({"groups": groups})
 
     async def scan(request: web.Request) -> web.Response:

@@ -73,6 +73,9 @@ class SearchEngine:
         # "dictionary changed size during iteration" under load
         self._text_lock = threading.Lock()
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
+        # explicitly removed images (POST /remove): scans skip these until
+        # the user deletes the files or the paths are re-added
+        self._excluded = store.excluded_paths()
         self.index = VectorIndex(
             cfg.projection_dim,
             mesh=self.mesh,
@@ -335,6 +338,34 @@ class SearchEngine:
         global_metrics.inc("duplicate_scans")
         return out
 
+    def remove_images(self, media_paths) -> int:
+        """Explicit durable deletion (POST /remove): tombstone + EXCLUDE, so
+        a rescan does not resurrect the photos while their files remain on
+        disk. Returns rows removed."""
+        resolved = [
+            p
+            for p in (self._resolve_selection(m) for m in media_paths)
+            if p is not None
+        ]
+        n = self.index.remove_paths(resolved, exclude=True)
+        if n:
+            self._excluded.update(resolved)
+            global_metrics.inc("removed_images", n)
+        return n
+
+    def restore_images(self, media_paths) -> int:
+        """Undo POST /remove exclusions: the next scan re-embeds the files
+        (they must still exist on disk). Returns exclusions cleared."""
+        resolved = [
+            p for p in (self.to_abs_path(m) for m in media_paths) if p is not None
+        ]
+        if not resolved or self.index.store is None:
+            return 0
+        n = self.index.store.clear_exclusion(resolved)
+        for p in resolved:
+            self._excluded.discard(p)
+        return n
+
     def prune_missing(self) -> int:
         """Tombstone indexed images whose files no longer exist on disk —
         capability the reference lacks entirely (a deleted photo keeps
@@ -387,6 +418,7 @@ class SearchEngine:
                 decode_workers=self.args.decode_workers,
                 process_index=jax.process_index() if partition else 0,
                 process_count=jax.process_count() if partition else 1,
+                skip_paths=self._excluded,
             )
         if getattr(self.args, "prune_on_scan", False):
             stats.pruned = self.prune_missing()

@@ -55,15 +55,25 @@ std::vector<uint8_t> random_tail(size_t n) {
 
 int main(int argc, char** argv) {
   long iters = argc > 1 ? atol(argv[1]) : 50000;
-  const char* magics[] = {"\xff\xd8\xff", "\x89PNG\r\n\x1a\n",
-                          "RIFF\x20\x00\x00\x00WEBP", "GIF89a", "BM",
-                          "II*\x00", "MM\x00*"};
+  // length-annotated: several magics contain embedded NULs, so strlen()
+  // would truncate them and silently skip the WebP/TIFF paths (review
+  // finding)
+  struct Magic { const char* bytes; size_t len; };
+  const Magic magics[] = {
+      {"\xff\xd8\xff", 3},
+      {"\x89PNG\r\n\x1a\n", 8},
+      {"RIFF\x20\x00\x00\x00WEBP", 12},
+      {"GIF89a", 6},
+      {"BM", 2},
+      {"II*\x00", 4},
+      {"MM\x00*", 4},
+  };
   for (long i = 0; i < iters; ++i) {
     std::vector<uint8_t> blob;
     switch (i % 4) {
       case 0: {  // magic + noise
-        const char* m = magics[rng() % 7];
-        blob.assign(m, m + strlen(m));
+        const Magic& m = magics[rng() % 7];
+        blob.assign(m.bytes, m.bytes + m.len);
         auto t = random_tail(rng() % 512);
         blob.insert(blob.end(), t.begin(), t.end());
         break;

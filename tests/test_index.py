@@ -811,3 +811,19 @@ def test_find_near_duplicates_sharded_and_int8(rng):
         idx.add(paths, emb)
         got = {(i, j) for i, j, _ in idx.find_near_duplicates(0.995, batch=256)}
         assert (20, 300) in got
+
+
+def test_find_near_duplicates_cluster_larger_than_neighbors(rng):
+    """Review-reproduced regression: an 11-copy cluster with neighbors=8
+    must not lose its highest-id members (top-k tie-breaking shows them
+    only from their own query side)."""
+    paths, emb = make_data(rng, 400)
+    for r in range(30, 41):
+        emb[r] = emb[30] * (1.0 + 0.01 * (r - 30))  # scaled copies
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    pairs = idx.find_near_duplicates(threshold=0.999, neighbors=8)
+    members = set()
+    for i, j, _ in pairs:
+        members.update((i, j))
+    assert set(range(30, 41)) <= members

@@ -208,7 +208,10 @@ def test_fuzz_garbage_never_crashes(rng):
     for magic in magics:
         for size in (0, 1, 7, 64, 4096):
             blob = magic + rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-            assert native_decode.decode_bytes(blob) is None or True  # no crash
+            # the contract is NO CRASH; random bytes behind a magic can in
+            # principle form an accidentally-valid tiny image, so the
+            # return value itself is unconstrained
+            native_decode.decode_bytes(blob)
 
     # truncations of a real file at every boundary class
     arr = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
@@ -222,8 +225,8 @@ def test_fuzz_structured_bmp_gif_headers(rng):
     """Structured fuzz of the two FROM-SCRATCH parsers: syntactically valid
     headers with random field values (dims, bpp, offsets, compression,
     palette sizes, LZW codes) must decode or cleanly reject — never crash
-    or overread (run under ASan in native/Makefile `make asan` to verify
-    memory safety)."""
+    or overread (run `make -C native fuzz && ./native/isx_fuzz` for the ASan
+    memory-safety version)."""
     import struct
 
     for _ in range(300):

@@ -413,3 +413,66 @@ def test_duplicates_endpoint(tmp_path):
 
     loop.run_until_complete(drive())
     loop.close()
+
+
+def test_remove_survives_rescan_and_restore_undoes(tmp_path):
+    """Review finding: POST /remove must NOT be silently undone by the next
+    scan while the file is still on disk; restore=true re-enables it."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=4)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    victim = eng.search("x")[0]["image_path"]
+    assert eng.remove_images([victim]) == 1
+    assert len(eng.search("x")) == 3
+
+    # the file is STILL on disk; a rescan must not resurrect it
+    stats = eng.scan()
+    assert stats.embedded == 0
+    assert victim not in [r["image_path"] for r in eng.search("x")]
+
+    # a fresh engine over the same store keeps the exclusion too
+    eng2 = SearchEngine(args)
+    eng2.scan()
+    assert victim not in [r["image_path"] for r in eng2.search("x")]
+
+    # restore clears the exclusion; the next scan re-embeds it
+    assert eng2.restore_images([victim]) == 1
+    stats = eng2.scan()
+    assert stats.embedded == 1
+    assert victim in [r["image_path"] for r in eng2.search("x")]
+
+
+def test_exclusions_survive_compaction(tmp_path):
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=3)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    victim = eng.search("x")[0]["image_path"]
+    eng.remove_images([victim])
+    del eng
+
+    from image_search_tpu.index import EmbeddingStore
+
+    from image_search_tpu.config import get_config
+
+    dim = get_config("clip-tiny-test").projection_dim
+    store = EmbeddingStore(str(tmp_path / "idx"), dim)
+    store.compact()
+    assert len(store.excluded_paths()) == 1
+
+    eng2 = SearchEngine(args)
+    eng2.scan()
+    assert victim not in [r["image_path"] for r in eng2.search("x")]
