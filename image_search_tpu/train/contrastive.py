@@ -171,9 +171,27 @@ def make_train_step(
         raise ValueError("fsdp=True requires a device mesh")
 
     def init_fn(params) -> TrainState:
-        if mesh is not None:
-            params = jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
-        return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+        if mesh is None:
+            return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+        params = jax.device_put(params, param_shardings(params, mesh, fsdp=fsdp))
+        opt_state = optimizer.init(params)
+        # moments are zeros_like(sharded params) and inherit their mesh
+        # placement, but SCALAR leaves (adam count, our step) land on one
+        # default device — replicate them so the whole state shares the
+        # mesh (a mixed-placement state breaks jit after an orbax restore,
+        # caught by tests/test_train.py FSDP checkpoint roundtrip)
+        rep = NamedSharding(mesh, P())
+
+        def ensure_on_mesh(x):
+            sh = getattr(x, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return x
+            return jax.device_put(x, rep)
+
+        opt_state = jax.tree.map(ensure_on_mesh, opt_state)
+        return TrainState(
+            params, opt_state, jax.device_put(jnp.zeros((), jnp.int32), rep)
+        )
 
     # Donating the state halves peak memory on TPU, but XLA:CPU's collective
     # runtime deadlocks (rendezvous timeout) when buffer donation is combined

@@ -283,3 +283,29 @@ def test_fsdp_shardings_cover_siglip_tree():
     sh = param_shardings(params, mesh, fsdp=True)
     assert "data" in str(sh["vision"]["blocks"]["qkv_w"].spec)
     assert "data" not in str(sh["vision"]["head"]["probe"].spec)
+
+
+def test_fsdp_train_state_checkpoint_roundtrip(tmp_path, rng):
+    """orbax save/restore works with ZeRO-3-sharded state: restore lands on
+    the template's shardings and training continues identically."""
+    from image_search_tpu.train.checkpoint import load_train_state, save_train_state
+
+    cfg = tiny_test_config()
+    ids, pix = make_batch(rng, cfg, 16)
+    opt = optax.adamw(1e-3)
+    mesh = make_mesh(8, 1)
+    init_fn, step_fn = make_train_step(cfg, opt, mesh=mesh, fsdp=True)
+    state = init_fn(init_params(jax.random.key(0), cfg))
+    state, _ = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, state)
+    template = init_fn(init_params(jax.random.key(0), cfg))
+    restored = load_train_state(d, template)
+    assert restored is not None and int(restored.step) == 1
+    qkv = restored.params["vision"]["blocks"]["qkv_w"]
+    assert qkv.addressable_shards[0].data.size * 8 <= qkv.size  # still sharded
+
+    s1, m1 = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
+    s2, m2 = step_fn(restored, jnp.asarray(ids), jnp.asarray(pix))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
