@@ -58,34 +58,90 @@ async function performScan() {
   }
 }
 
+// --- delete marked (POST /remove; beyond the reference) ---------------------
+
+async function performRemove() {
+  if (!state.marked.length) { setStatus("mark images first"); return; }
+  if (!window.confirm(`Delete ${state.marked.length} marked image(s) from the index?`)) return;
+  setStatus("removing…");
+  try {
+    const res = await fetch("/remove", {
+      method: "POST",
+      headers: { "content-type": "application/json" },
+      body: L.removeBody(state.marked),
+    });
+    if (!res.ok) throw new Error(`HTTP ${res.status}`);
+    const resp = await res.json();
+    state.results = L.afterRemoval(state.results, state.marked);
+    state.marked = [];
+    render();
+    setStatus(L.removedStatusText(resp));
+  } catch (err) {
+    setStatus(`remove failed: ${err.message}`);
+  }
+}
+
+// --- duplicates view (GET /duplicates; beyond the reference) -----------------
+
+async function performDuplicates() {
+  setStatus("scanning for duplicates…");
+  try {
+    const res = await fetch("/duplicates?threshold=0.97");
+    if (!res.ok) throw new Error(`HTTP ${res.status}`);
+    const groups = L.duplicateGroupsOf(await res.json());
+    renderGroups(groups);
+    setStatus(L.dupStatusText(groups));
+  } catch (err) {
+    setStatus(`duplicates failed: ${err.message}`);
+  }
+}
+
+function renderGroups(groups) {
+  // each group renders as a bordered row of normal cards: mark the copies
+  // you don't want, then "Delete marked"
+  state.results = [];
+  grid.replaceChildren(...groups.map((group) => {
+    const box = document.createElement("div");
+    box.className = "dup-group";
+    group.forEach((path) => {
+      const img = { id: encodeURIComponent(path), image_path: path, score: 1 };
+      state.results.push(img);
+      box.append(makeCard(img));
+    });
+    return box;
+  }));
+}
+
 // --- grid + cards (image_grid.rs, image_card.rs) -----------------------------
 
+function makeCard(img) {
+  const card = document.createElement("div");
+  card.className = "card";
+  card.dataset.id = img.id;
+
+  // mark checkbox = relevance-feedback selection (image_card.rs:12-27)
+  const mark = document.createElement("input");
+  mark.type = "checkbox";
+  mark.className = "mark";
+  mark.checked = state.marked.includes(img.image_path);
+  mark.addEventListener("change", () => {
+    state.marked = L.toggleMark(state.marked, img.image_path, mark.checked);
+    card.classList.toggle("marked", mark.checked);
+  });
+
+  const pic = document.createElement("img");
+  pic.loading = "lazy";
+  pic.src = img.image_path; // relative media/... URL (image_card.rs:52-62)
+  pic.alt = img.image_path;
+  pic.addEventListener("click", () => openModal(img.image_path));
+
+  if (mark.checked) card.classList.add("marked");  // persists across rounds
+  card.append(mark, pic);
+  return card;
+}
+
 function render() {
-  grid.replaceChildren(...state.results.map((img) => {
-    const card = document.createElement("div");
-    card.className = "card";
-    card.dataset.id = img.id;
-
-    // mark checkbox = relevance-feedback selection (image_card.rs:12-27)
-    const mark = document.createElement("input");
-    mark.type = "checkbox";
-    mark.className = "mark";
-    mark.checked = state.marked.includes(img.image_path);
-    mark.addEventListener("change", () => {
-      state.marked = L.toggleMark(state.marked, img.image_path, mark.checked);
-      card.classList.toggle("marked", mark.checked);
-    });
-
-    const pic = document.createElement("img");
-    pic.loading = "lazy";
-    pic.src = img.image_path; // relative media/... URL (image_card.rs:52-62)
-    pic.alt = img.image_path;
-    pic.addEventListener("click", () => openModal(img.image_path));
-
-    if (mark.checked) card.classList.add("marked");  // persists across rounds
-    card.append(mark, pic);
-    return card;
-  }));
+  grid.replaceChildren(...state.results.map(makeCard));
 }
 
 // --- zoom/pan modal (image_modal.rs) -----------------------------------------
@@ -150,3 +206,5 @@ $("search-input").addEventListener("keydown", (e) => {
   if (L.shouldSearch(e.key, $("search-input").value)) performSearch();
 });
 $("scan-btn").addEventListener("click", performScan);
+$("dup-btn").addEventListener("click", performDuplicates);
+$("remove-btn").addEventListener("click", performRemove);

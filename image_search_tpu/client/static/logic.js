@@ -91,10 +91,51 @@ function shouldCloseModal(targetIsBackdrop, key) {
   return targetIsBackdrop || key === "Escape";
 }
 
+// POST /remove body (server extension endpoint; reference cannot delete)
+function removeBody(marked) {
+  return JSON.stringify({ images: marked });
+}
+
+// results list after deleting `removed` paths (caller resets marks)
+function afterRemoval(results, removed) {
+  const out = [];
+  for (let i = 0; i < results.length; i++) {
+    const r = results[i];
+    let keep = true;
+    for (let j = 0; j < removed.length; j++) {
+      if (r.image_path === removed[j]) {
+        keep = false;
+      }
+    }
+    if (keep) {
+      out.push(r);
+    }
+  }
+  return out;
+}
+
+function removedStatusText(resp) {
+  if (resp) {
+    return `removed ${resp.removed} images`;
+  }
+  return "removed";
+}
+
+// GET /duplicates response -> groups; missing field renders empty
+function duplicateGroupsOf(data) {
+  return data.groups || [];
+}
+
+function dupStatusText(groups) {
+  return `${groups.length} duplicate groups`;
+}
+
 /* EXPORT (ignored by the test translator) */
 if (typeof window !== "undefined") {
   window.ISXLogic = {
     clampScale, wheelZoom, panMove, transformOf, toggleMark,
     shouldSearch, searchBody, resultsOf, scanStatusText, shouldCloseModal,
+    removeBody, afterRemoval, removedStatusText, duplicateGroupsOf,
+    dupStatusText,
   };
 }

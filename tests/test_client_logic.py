@@ -122,8 +122,8 @@ def translate(src: str) -> str:
             out.append(f"{indent}# OBJ-START")
             depth += 1
             continue
-        m = re.match(r"^(?:const|let)\s+(\w+)\s*=\s*(.*);$", stripped)
-        if m:
+        m = re.match(r"^(?:(?:const|let)\s+)?(\w+)\s*=\s*(.*);$", stripped)
+        if m and not stripped.startswith("if"):
             out.append(f"{indent}{m.group(1)} = {_expr(m.group(2))}")
             continue
         m = re.match(r"^return (.*);$", stripped)
@@ -275,3 +275,34 @@ def test_app_js_wiring_consistency():
     assert used, "app.js no longer routes through ISXLogic"
     assert used <= exported, f"app.js calls unexported logic: {used - exported}"
     assert html.index("logic.js") < html.index("app.js")
+
+
+def test_remove_body_wire_shape(L):
+    assert json.loads(L["removeBody"](["media/a.jpg", "media/b.jpg"])) == {
+        "images": ["media/a.jpg", "media/b.jpg"]
+    }
+
+
+def test_after_removal_drops_deleted_results(L):
+    results = [
+        {"id": "1", "image_path": "media/a.jpg", "score": 0.9},
+        {"id": "2", "image_path": "media/b.jpg", "score": 0.8},
+        {"id": "3", "image_path": "media/c.jpg", "score": 0.7},
+    ]
+    out = L["afterRemoval"](results, ["media/b.jpg"])
+    assert [r["image_path"] for r in out] == ["media/a.jpg", "media/c.jpg"]
+    assert L["afterRemoval"](results, []) == results
+    assert L["afterRemoval"]([], ["media/a.jpg"]) == []
+
+
+def test_removed_status_text(L):
+    assert L["removedStatusText"]({"removed": 3}) == "removed 3 images"
+    assert L["removedStatusText"](None) == "removed"
+
+
+def test_duplicate_groups_tolerate_missing_field(L):
+    assert L["duplicateGroupsOf"]({"groups": [["media/a.jpg", "media/b.jpg"]]}) == [
+        ["media/a.jpg", "media/b.jpg"]
+    ]
+    assert L["duplicateGroupsOf"]({}) == []
+    assert L["dupStatusText"]([[1, 2], [3, 4]]) == "2 duplicate groups"
