@@ -8,6 +8,8 @@ const L = window.ISXLogic;
 const state = {
   results: [],          // [{id, image_path, score}]
   marked: [],           // image_path strings submitted as referenced_images
+  view: "search",       // "search" | "dups" (duplicate-groups layout)
+  groups: [],           // duplicate groups when view === "dups"
 };
 
 const $ = (id) => document.getElementById(id);
@@ -30,6 +32,7 @@ async function performSearch() {
     });
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const data = await res.json();
+    state.view = "search";
     state.results = L.resultsOf(data);
     // marks persist across rounds (reference: marked_images RwSignal is
     // never cleared, app.rs:24) — feedback accumulates until un-checked
@@ -61,20 +64,29 @@ async function performScan() {
 // --- delete marked (POST /remove; beyond the reference) ---------------------
 
 async function performRemove() {
-  if (!state.marked.length) { setStatus("mark images first"); return; }
-  if (!window.confirm(`Delete ${state.marked.length} marked image(s) from the index?`)) return;
+  // only VISIBLE marks are deleted — feedback marks from earlier rounds
+  // that aren't on screen stay untouched (and stay marked)
+  const toDelete = L.visibleMarked(state.marked, state.results);
+  if (!toDelete.length) { setStatus("mark visible images first"); return; }
+  if (!window.confirm(`Delete ${toDelete.length} marked image(s) from the index?`)) return;
   setStatus("removing…");
   try {
     const res = await fetch("/remove", {
       method: "POST",
       headers: { "content-type": "application/json" },
-      body: L.removeBody(state.marked),
+      body: L.removeBody(toDelete),
     });
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const resp = await res.json();
-    state.results = L.afterRemoval(state.results, state.marked);
-    state.marked = [];
-    render();
+    state.marked = state.marked.filter((p) => !toDelete.includes(p));
+    if (state.view === "dups") {
+      // stay in the duplicates layout: surviving groups keep their borders
+      state.groups = L.groupsAfterRemoval(state.groups, toDelete);
+      renderGroups(state.groups);
+    } else {
+      state.results = L.afterRemoval(state.results, toDelete);
+      render();
+    }
     setStatus(L.removedStatusText(resp));
   } catch (err) {
     setStatus(`remove failed: ${err.message}`);
@@ -88,9 +100,10 @@ async function performDuplicates() {
   try {
     const res = await fetch("/duplicates?threshold=0.97");
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
-    const groups = L.duplicateGroupsOf(await res.json());
-    renderGroups(groups);
-    setStatus(L.dupStatusText(groups));
+    state.view = "dups";
+    state.groups = L.duplicateGroupsOf(await res.json());
+    renderGroups(state.groups);
+    setStatus(L.dupStatusText(state.groups));
   } catch (err) {
     setStatus(`duplicates failed: ${err.message}`);
   }

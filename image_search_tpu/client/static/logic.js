@@ -114,6 +114,46 @@ function afterRemoval(results, removed) {
   return out;
 }
 
+// only marks VISIBLE in the current results may be deleted — invisible
+// feedback marks from earlier rounds must never be silently destroyed
+function visibleMarked(marked, results) {
+  const out = [];
+  for (let i = 0; i < marked.length; i++) {
+    for (let j = 0; j < results.length; j++) {
+      const r = results[j];
+      if (r.image_path === marked[i]) {
+        out.push(marked[i]);
+      }
+    }
+  }
+  return out;
+}
+
+// duplicates view after deletion: drop removed paths; a group shrinking
+// below 2 members is no longer a duplicate group
+function groupsAfterRemoval(groups, removed) {
+  const out = [];
+  for (let i = 0; i < groups.length; i++) {
+    const g = groups[i];
+    const kept = [];
+    for (let j = 0; j < g.length; j++) {
+      let hit = false;
+      for (let k = 0; k < removed.length; k++) {
+        if (g[j] === removed[k]) {
+          hit = true;
+        }
+      }
+      if (hit === false) {
+        kept.push(g[j]);
+      }
+    }
+    if (kept.length > 1) {
+      out.push(kept);
+    }
+  }
+  return out;
+}
+
 function removedStatusText(resp) {
   if (resp) {
     return `removed ${resp.removed} images`;
@@ -136,6 +176,6 @@ if (typeof window !== "undefined") {
     clampScale, wheelZoom, panMove, transformOf, toggleMark,
     shouldSearch, searchBody, resultsOf, scanStatusText, shouldCloseModal,
     removeBody, afterRemoval, removedStatusText, duplicateGroupsOf,
-    dupStatusText,
+    dupStatusText, visibleMarked, groupsAfterRemoval,
   };
 }

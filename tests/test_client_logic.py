@@ -77,6 +77,7 @@ def translate(src: str) -> str:
     out = ["def _json_stringify(x):", "    return json.dumps(x)", ""]
     depth = 0
     in_export = False
+    declared: set = set()  # let/const/params/loop vars of the current function
     for raw in src.splitlines():
         line = raw.split("//")[0].rstrip()
         if not line.strip():
@@ -91,11 +92,13 @@ def translate(src: str) -> str:
         m = re.match(r"^function\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*\{$", stripped)
         if m:
             out.append(f"def {m.group(1)}({m.group(2)}):")
+            declared = {a.strip() for a in m.group(2).split(",") if a.strip()}
             depth += 1
             continue
         m = re.match(r"^for \(let (\w+) = 0; \1 < (\w+)\.length; \1\+\+\) \{$", stripped)
         if m:
             out.append(f"{indent}for {m.group(1)} in range(len({m.group(2)})):")
+            declared.add(m.group(1))
             depth += 1
             continue
         m = re.match(r"^if \((.*)\) \{$", stripped)
@@ -122,8 +125,20 @@ def translate(src: str) -> str:
             out.append(f"{indent}# OBJ-START")
             depth += 1
             continue
-        m = re.match(r"^(?:(?:const|let)\s+)?(\w+)\s*=\s*(.*);$", stripped)
-        if m and not stripped.startswith("if"):
+        m = re.match(r"^(const|let)\s+(\w+)\s*=\s*(.*);$", stripped)
+        if m:
+            declared.add(m.group(2))
+            out.append(f"{indent}{m.group(2)} = {_expr(m.group(3))}")
+            continue
+        # bare reassignment: only to names DECLARED in this function — a
+        # typo'd identifier would be a silent sloppy-mode global in the
+        # browser, so the translator rejects it instead of passing CI
+        m = re.match(r"^(\w+)\s*=\s*(.*);$", stripped)
+        if m:
+            if m.group(1) not in declared:
+                raise JsTranslationError(
+                    f"assignment to undeclared name {m.group(1)!r}: {stripped!r}"
+                )
             out.append(f"{indent}{m.group(1)} = {_expr(m.group(2))}")
             continue
         m = re.match(r"^return (.*);$", stripped)
@@ -306,3 +321,28 @@ def test_duplicate_groups_tolerate_missing_field(L):
     ]
     assert L["duplicateGroupsOf"]({}) == []
     assert L["dupStatusText"]([[1, 2], [3, 4]]) == "2 duplicate groups"
+
+
+def test_visible_marked_protects_offscreen_feedback_marks(L):
+    results = [{"id": "1", "image_path": "media/a.jpg", "score": 0.9}]
+    marked = ["media/offscreen.jpg", "media/a.jpg"]
+    assert L["visibleMarked"](marked, results) == ["media/a.jpg"]
+    assert L["visibleMarked"](marked, []) == []
+    assert L["visibleMarked"]([], results) == []
+
+
+def test_groups_after_removal_keeps_layout_and_prunes_singletons(L):
+    groups = [
+        ["media/a.jpg", "media/b.jpg", "media/c.jpg"],
+        ["media/d.jpg", "media/e.jpg"],
+    ]
+    out = L["groupsAfterRemoval"](groups, ["media/b.jpg", "media/e.jpg"])
+    # group 1 keeps its 2 survivors; group 2 shrank below 2 -> gone
+    assert out == [["media/a.jpg", "media/c.jpg"]]
+    assert L["groupsAfterRemoval"](groups, []) == groups
+
+
+def test_translator_rejects_undeclared_assignment():
+    src = "function f(a) {\n  typoed = 1;\n  return a;\n}\n"
+    with pytest.raises(JsTranslationError, match="undeclared"):
+        translate(src)
