@@ -547,11 +547,21 @@ class VectorIndex:
         (prune of vanished files) stays resurrectable by rescan.
 
         Returns the number of rows actually removed."""
+        n, _ = self.remove_paths_report(paths, exclude=exclude)
+        return n
+
+    def remove_paths_report(
+        self, paths: Sequence[str], exclude: bool = False
+    ) -> Tuple[int, List[str]]:
+        """Like :meth:`remove_paths` but also returns the list of paths
+        whose rows were actually tombstoned (request duplicates and
+        never-indexed paths excluded) — callers tracking exclusion state
+        need the precise set, not the count."""
         with self._lock:
             n, removed = self._remove_in_memory(paths)
             if removed and self.store is not None:
                 self.store.tombstone(removed, exclude=exclude)
-            return n
+            return n, removed
 
     # -- queries ---------------------------------------------------------------
 

@@ -206,9 +206,8 @@ class EmbeddingStore:
         path lines) complete rows, truncate both files to agree."""
         bin_path = self._file(self._active, ".bin")
         paths_path = self._file(self._active, ".paths")
-        bin_rows = (
-            os.path.getsize(bin_path) // self._row_bytes if os.path.exists(bin_path) else 0
-        )
+        bin_bytes = os.path.getsize(bin_path) if os.path.exists(bin_path) else 0
+        bin_rows = bin_bytes // self._row_bytes
         lines: List[str] = []
         ends: List[int] = []  # byte offset just past each complete line
         raw = b""
@@ -235,7 +234,10 @@ class EmbeddingStore:
         # Recovery must never create a window where durable rows are gone:
         # both files are only ever TRUNCATED in place (no rewrite), and only
         # when they actually disagree — a clean restart touches nothing.
-        if bin_rows != rows:
+        # Compare BYTE size, not row count: a crash during the first row of
+        # a batch write leaves bin_rows == rows plus stray partial-row bytes
+        # that would byte-shift every later append if left in place.
+        if bin_bytes != rows * self._row_bytes:
             with open(bin_path, "ab") as f:
                 f.truncate(rows * self._row_bytes)
         keep = ends[rows - 1] if rows else 0
@@ -372,6 +374,27 @@ class EmbeddingStore:
                 os.fsync(f.fileno())
         return recorded
 
+    def exclude_paths(self, paths: Sequence[str]) -> int:
+        """Record explicit exclusions for paths that have NO live rows —
+        e.g. a previously pruned file that reappeared on disk and the user
+        explicitly removed again. Rescans skip these (``excluded_paths``)
+        even though liveness is unaffected. Paths with live rows must go
+        through :meth:`tombstone` instead (skipped here)."""
+        todo = [p for p in paths if p not in self._path_set]
+        if not todo:
+            return 0
+        with open(os.path.join(self.directory, self.TOMBSTONES), "a") as f:
+            for p in todo:
+                f.write(
+                    json.dumps(
+                        {"at": self._rows, "p": p, "gen": self._tomb_gen, "x": 1}
+                    )
+                    + "\n"
+                )
+            f.flush()
+            os.fsync(f.fileno())
+        return len(todo)
+
     def load_tombstones(self) -> List[Tuple[int, str, bool]]:
         """Current-generation tombstone records in append order as
         (at_row_count, path, excluded). Records from older generations are stale
@@ -448,27 +471,42 @@ class EmbeddingStore:
             new_segs.append((name, len(live), "bin"))
             kept += len(live)
 
-        self._sealed = new_segs
-        self._rows = kept
-        self._tomb_gen += 1  # invalidates every existing tombstone record
-        self._start_active(next_n)  # fresh active + ATOMIC manifest = commit
-        # committed: everything below is pure cleanup
         tpath = os.path.join(self.directory, self.TOMBSTONES)
-        if os.path.exists(tpath):
-            os.remove(tpath)
-        if excluded:
-            # explicit exclusions (POST /remove) outlive compaction: rewrite
-            # them as fresh-generation records with at=0 (the path has no
-            # surviving rows, so liveness is unaffected; rescans keep
-            # skipping the files)
+        next_gen_records = [
+            {"at": 0, "p": p_ex, "gen": self._tomb_gen + 1, "x": 1}
+            for p_ex in sorted(excluded)
+        ]
+        if next_gen_records:
+            # explicit exclusions (POST /remove) outlive compaction: persist
+            # them as NEXT-generation records (at=0; the paths have no
+            # surviving rows, so liveness is unaffected) BEFORE the manifest
+            # commit. They are inert until the generation bump lands, so a
+            # crash on either side of the commit loses nothing: before it
+            # the old generation (old records) still governs; after it the
+            # new records are already durable. The old remove-then-rewrite
+            # order had a crash window that permanently dropped exclusions.
             with open(tpath, "a") as f:
-                for p_ex in sorted(excluded):
-                    f.write(
-                        json.dumps({"at": 0, "p": p_ex, "gen": self._tomb_gen, "x": 1})
-                        + "\n"
-                    )
+                for rec in next_gen_records:
+                    f.write(json.dumps(rec) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+        self._sealed = new_segs
+        self._rows = kept
+        self._tomb_gen += 1  # invalidates every pre-compaction record
+        self._start_active(next_n)  # fresh active + ATOMIC manifest = commit
+        # committed: everything below is pure cleanup
+        if next_gen_records:
+            # drop the stale old-generation records; atomic replace so a
+            # crash mid-cleanup can never tear the log
+            fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                for rec in next_gen_records:
+                    f.write(json.dumps(rec) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, tpath)
+        elif os.path.exists(tpath):
+            os.remove(tpath)
         self._sweep_unreferenced()
         log.info("store compacted: %d rows kept, %d dropped", kept, dropped)
         return kept, dropped

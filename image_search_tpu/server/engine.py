@@ -159,21 +159,31 @@ class SearchEngine:
             return None
         return abs_path
 
+    def _abs_candidates(self, media_path: str) -> List[str]:
+        """Absolute-path candidates for a client-supplied path: the raw
+        string first, then the urldecoded form (a client may echo the
+        urlencoded ``id`` field instead of ``image_path``)."""
+        out: List[str] = []
+        abs_raw = self.to_abs_path(media_path)
+        if abs_raw is not None:
+            out.append(abs_raw)
+        unquoted = urllib.parse.unquote(media_path)
+        if unquoted != media_path:
+            abs_unq = self.to_abs_path(unquoted)
+            if abs_unq is not None and abs_unq not in out:
+                out.append(abs_unq)
+        return out
+
     def _resolve_selection(self, media_path: str) -> Optional[str]:
         """Referenced-image path -> indexed absolute path.
 
         Tries the raw string first; falls back to the urldecoded form only
-        when the raw path is unknown to the index (a client may echo the
-        urlencoded ``id`` field instead of ``image_path``)."""
-        abs_raw = self.to_abs_path(media_path)
-        if abs_raw is not None and self.index.has_path(abs_raw):
-            return abs_raw
-        unquoted = urllib.parse.unquote(media_path)
-        if unquoted != media_path:
-            abs_unq = self.to_abs_path(unquoted)
-            if abs_unq is not None and self.index.has_path(abs_unq):
-                return abs_unq
-        return abs_raw
+        when the raw path is unknown to the index."""
+        cands = self._abs_candidates(media_path)
+        for c in cands:
+            if self.index.has_path(c):
+                return c
+        return cands[0] if cands else None
 
     def to_media_path(self, abs_path: str) -> str:
         """absolute -> 'media/...' URL (search.rs:93-99 reverse map)."""
@@ -347,19 +357,44 @@ class SearchEngine:
             for p in (self._resolve_selection(m) for m in media_paths)
             if p is not None
         ]
-        n = self.index.remove_paths(resolved, exclude=True)
+        n, removed = self.index.remove_paths_report(resolved, exclude=True)
+        # only the rows actually tombstoned become exclusions — NOT request
+        # duplicates or paths the store never held
+        self._excluded.update(removed)
         if n:
-            self._excluded.update(resolved)
             global_metrics.inc("removed_images", n)
+        # an already-pruned path (file vanished, later reappeared on disk)
+        # has no live row, so remove_paths is a no-op on it — still honor
+        # the user's explicit deletion by recording an exclusion so a
+        # rescan can never resurrect it
+        gone = set(removed)
+        leftovers = [
+            p
+            for p in dict.fromkeys(resolved)
+            if p not in gone and p not in self._excluded and os.path.exists(p)
+        ]
+        if leftovers and self.index.store is not None:
+            self.index.store.exclude_paths(leftovers)
+            self._excluded.update(leftovers)
         return n
 
     def restore_images(self, media_paths) -> int:
         """Undo POST /remove exclusions: the next scan re-embeds the files
-        (they must still exist on disk). Returns exclusions cleared."""
-        resolved = [
-            p for p in (self.to_abs_path(m) for m in media_paths) if p is not None
-        ]
-        if not resolved or self.index.store is None:
+        (they must still exist on disk). Accepts either the ``image_path``
+        or the urlencoded ``id`` form, like /remove. Returns exclusions
+        cleared."""
+        if self.index.store is None:
+            return 0
+        excluded = self.index.store.excluded_paths()
+        resolved = []
+        for m in media_paths:
+            cands = self._abs_candidates(m)
+            # prefer the candidate that is actually excluded (has_path is
+            # useless here — removed paths are no longer in the index)
+            pick = next((c for c in cands if c in excluded), cands[0] if cands else None)
+            if pick is not None:
+                resolved.append(pick)
+        if not resolved:
             return 0
         n = self.index.store.clear_exclusion(resolved)
         for p in resolved:

@@ -827,3 +827,110 @@ def test_find_near_duplicates_cluster_larger_than_neighbors(rng):
     for i, j, _ in pairs:
         members.update((i, j))
     assert set(range(30, 41)) <= members
+
+
+# --- round-3 advisor findings: store crash-safety hardening ---
+
+
+def test_store_recovery_truncates_torn_partial_trailing_row(tmp_path, rng):
+    """Advisor (round 2, high): a crash during the FIRST row of a batch's
+    .bin write leaves bin_rows == path lines plus stray partial-row bytes;
+    recovery must truncate them or every later append reads back shifted."""
+    import os
+
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    paths, emb = make_data(rng, 50)
+    store.append(paths, emb)
+    bin_f = store._file(store._active, ".bin")
+    with open(bin_f, "ab") as f:
+        f.write(b"\x01\x02\x03")  # partial row, no complete extra rows
+    assert os.path.getsize(bin_f) == 50 * DIM * 4 + 3
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    assert len(store2) == 50
+    assert os.path.getsize(bin_f) == 50 * DIM * 4  # garbage truncated
+    row = np.full((1, DIM), 7.0, np.float32)
+    store2.append(["/pics/after_crash.jpg"], row)
+
+    store3 = EmbeddingStore(str(tmp_path), DIM, seg_rows=10_000)
+    got_paths, got_emb = store3.load_all()
+    assert got_paths[-1] == "/pics/after_crash.jpg"
+    np.testing.assert_array_equal(got_emb[-1], row[0])  # NOT byte-shifted
+
+
+def _store_with_exclusion(tmp_path, rng):
+    paths, emb = make_data(rng, 20)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    store.append(paths, emb)
+    store.tombstone([paths[3]], exclude=True)
+    assert store.excluded_paths() == {paths[3]}
+    return paths
+
+
+def test_compact_crash_before_manifest_commit_keeps_exclusions(tmp_path, rng):
+    """A compact that dies BEFORE its manifest commit must leave the old
+    generation fully governing: rows intact, exclusion intact."""
+    paths = _store_with_exclusion(tmp_path, rng)
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest commit")
+
+    store2._start_active = boom
+    with pytest.raises(RuntimeError):
+        store2.compact()
+
+    store3 = EmbeddingStore(str(tmp_path), DIM)
+    assert store3.excluded_paths() == {paths[3]}
+    assert len(store3) == 20  # 19 live + the dead row still in the file
+    live, dead = store3.liveness()
+    assert dead == {paths[3]} and int(live.sum()) == 19
+
+
+def test_compact_crash_after_commit_before_cleanup_keeps_exclusions(tmp_path, rng):
+    """Advisor (round 2, low): the remove-then-rewrite window permanently
+    dropped exclusions. Now next-generation records are durable BEFORE the
+    commit, so a crash before the stale-record cleanup loses nothing."""
+    import os as _os
+
+    from image_search_tpu.index import store as store_mod
+
+    paths = _store_with_exclusion(tmp_path, rng)
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    real_replace = _os.replace
+
+    def flaky_replace(src, dst):
+        if dst.endswith(EmbeddingStore.TOMBSTONES):
+            raise RuntimeError("injected crash during cleanup")
+        return real_replace(src, dst)
+
+    store_mod.os.replace = flaky_replace
+    try:
+        with pytest.raises(RuntimeError):
+            store2.compact()
+    finally:
+        store_mod.os.replace = real_replace
+
+    store3 = EmbeddingStore(str(tmp_path), DIM)
+    assert store3.excluded_paths() == {paths[3]}  # survived the crash
+    assert len(store3) == 19  # compaction itself committed
+    # a later clean compact converges (stale old-gen records swept)
+    store3.compact()
+    store4 = EmbeddingStore(str(tmp_path), DIM)
+    assert store4.excluded_paths() == {paths[3]}
+    assert len(store4) == 19
+
+
+def test_store_exclude_paths_records_rowless_exclusion(tmp_path, rng):
+    """exclude_paths() durably excludes a path with no live rows (the
+    /remove-after-prune case) without touching liveness."""
+    paths, emb = make_data(rng, 10)
+    store = EmbeddingStore(str(tmp_path), DIM)
+    store.append(paths, emb)
+    assert store.exclude_paths(["/pics/pruned_long_ago.jpg"]) == 1
+    assert store.exclude_paths([paths[0]]) == 0  # live rows: must tombstone
+
+    store2 = EmbeddingStore(str(tmp_path), DIM)
+    assert store2.excluded_paths() == {"/pics/pruned_long_ago.jpg"}
+    live, dead = store2.liveness()
+    assert int(live.sum()) == 10  # all real rows still live

@@ -476,3 +476,78 @@ def test_exclusions_survive_compaction(tmp_path):
     eng2 = SearchEngine(args)
     eng2.scan()
     assert victim not in [r["image_path"] for r in eng2.search("x")]
+
+
+def test_restore_accepts_urlencoded_id(tmp_path):
+    """Advisor (round 2): a client that removed an image via its urlencoded
+    ``id`` field must be able to restore it the same way — restore_images
+    now resolves the encoded form like /remove does."""
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(3)
+    fname = "my photo #1.png"  # urlencodes to my%20photo%20%231.png
+    Image.fromarray(
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    ).save(os.path.join(media, fname))
+    make_corpus(media, n=2)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    results = eng.search("x")
+    target = next(r for r in results if fname in r["image_path"])
+    assert target["id"] != target["image_path"]  # really encoded
+
+    # remove via the encoded id, then restore via the encoded id
+    assert eng.remove_images([target["id"]]) == 1
+    assert all(fname not in r["image_path"] for r in eng.search("x"))
+    assert eng.restore_images([target["id"]]) == 1
+    stats = eng.scan()
+    assert stats.embedded == 1
+    assert any(fname in r["image_path"] for r in eng.search("x"))
+
+
+def test_remove_accounting_and_remove_after_prune(tmp_path):
+    """Advisor (round 2): (a) request duplicates / unknown paths must not
+    pollute the exclusion set; (b) a path already prune-tombstoned (file
+    later reappears) can still be explicitly excluded via /remove."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=3)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    victim = eng.search("x")[0]["image_path"]
+
+    # duplicates in one request: one row removed, one exclusion recorded
+    assert eng.remove_images([victim, victim, "media/never_indexed.jpg"]) == 1
+    abs_victim = eng.to_abs_path(victim)
+    assert abs_victim in eng._excluded
+    assert eng.to_abs_path("media/never_indexed.jpg") not in eng._excluded
+
+    # prune flow: file vanishes, prune tombstones it (no exclusion) ...
+    other = next(p for p in (eng.search("x")[i]["image_path"] for i in range(2)))
+    abs_other = eng.to_abs_path(other)
+    img_bytes = open(abs_other, "rb").read()
+    os.remove(abs_other)
+    assert eng.prune_missing() == 1
+    # ... then the file REAPPEARS; /remove on the now-rowless path must
+    # record an exclusion so the next scan cannot resurrect it
+    open(abs_other, "wb").write(img_bytes)
+    assert eng.remove_images([other]) == 0  # no live row to remove
+    assert abs_other in eng._excluded
+    stats = eng.scan()
+    assert stats.embedded == 0
+    assert all(r["image_path"] != other for r in eng.search("x"))
+    # the exclusion is durable across restart
+    eng2 = SearchEngine(args)
+    assert eng2.scan().embedded == 0
+    assert all(r["image_path"] != other for r in eng2.search("x"))
