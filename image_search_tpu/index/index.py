@@ -684,6 +684,7 @@ class VectorIndex:
         neighbors: int = 8,
         batch: int = 1024,
         approx: bool = False,
+        progress: Optional[callable] = None,
     ):
         """Near-duplicate pairs by cosine similarity: every live row is
         queried against the index in device-sized batches (the stored rows
@@ -691,7 +692,10 @@ class VectorIndex:
         scoring >= threshold are returned as (row_i, row_j, score) with
         i < j, each pair once. No reference counterpart — SurrealDB MTREE
         could not scan itself in reasonable time; here a 1M-row corpus is
-        ~1k fused batched searches."""
+        ~1k fused batched searches. ``progress(rows_done, rows_total)`` is
+        called after every batch so long scans are observable (and the
+        server can publish a progress gauge); pair extraction is fully
+        vectorized — no per-element Python loop over the [B, k] results."""
         with self._lock:
             rows = sorted(self._row.values())
             if not rows:
@@ -699,8 +703,10 @@ class VectorIndex:
             slabs, norms, scales, pens = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
         k = min(neighbors + 1, self._size)  # +1: self-match is always there
-        seen: dict = {}
-        for lo in range(0, len(rows), batch):
+        pair_chunks: List[np.ndarray] = []
+        score_chunks: List[np.ndarray] = []
+        total = len(rows)
+        for lo in range(0, total, batch):
             chunk = rows[lo : lo + batch]
             idx = np.full((batch,), chunk[-1], np.int64)
             idx[: len(chunk)] = chunk
@@ -711,22 +717,38 @@ class VectorIndex:
                 sc, nb = _sharded_search_fn(self.mesh, k, approx)(
                     slabs, size, q, scales, pens
                 )
-            sc, nb = np.asarray(sc), np.asarray(nb)
-            for b, r in enumerate(chunk):
-                for j, scv in zip(nb[b], sc[b]):
-                    j = int(j)
-                    if j == r or scv < threshold:
-                        continue
-                    # emit BOTH orientations normalized to (min, max): in a
-                    # cluster larger than `neighbors`, top-k tie-breaking
-                    # can make high-id members visible only from their OWN
-                    # query side (review-reproduced: an 11-copy cluster
-                    # silently lost rows 39-40 under `if r < j` alone)
-                    pair = (r, j) if r < j else (j, r)
-                    prev = seen.get(pair)
-                    if prev is None or scv > prev:
-                        seen[pair] = float(scv)
-        return [(i, j, s) for (i, j), s in sorted(seen.items())]
+            sc = np.asarray(sc)[: len(chunk)]
+            nb = np.asarray(nb)[: len(chunk)].astype(np.int64)
+            r = np.asarray(chunk, np.int64)[:, None]  # [C, 1]
+            # emit BOTH orientations normalized to (min, max): in a cluster
+            # larger than `neighbors`, top-k tie-breaking can make high-id
+            # members visible only from their OWN query side
+            # (review-reproduced: an 11-copy cluster silently lost rows
+            # 39-40 under `if r < j` alone)
+            mask = (nb != r) & (sc >= threshold)
+            if mask.any():
+                ri = np.broadcast_to(r, nb.shape)[mask]
+                rj = nb[mask]
+                pair_chunks.append(
+                    np.stack([np.minimum(ri, rj), np.maximum(ri, rj)], axis=1)
+                )
+                score_chunks.append(sc[mask].astype(np.float32))
+            if progress is not None:
+                progress(min(lo + batch, total), total)
+        if not pair_chunks:
+            return []
+        pairs = np.concatenate(pair_chunks)
+        scores = np.concatenate(score_chunks)
+        # dedupe keeping the max score per (i, j): sort by (i, j, -score),
+        # keep each pair's first occurrence (lexsort: last key is primary)
+        order = np.lexsort((-scores, pairs[:, 1], pairs[:, 0]))
+        pairs, scores = pairs[order], scores[order]
+        first = np.ones(len(pairs), bool)
+        first[1:] = (pairs[1:] != pairs[:-1]).any(axis=1)
+        pairs, scores = pairs[first], scores[first]
+        return [
+            (int(i), int(j), float(s)) for (i, j), s in zip(pairs, scores)
+        ]
 
     # -- lookups ---------------------------------------------------------------
 

@@ -174,6 +174,14 @@ def build_app(
         return web.json_response({"removed": n})
 
     dup_lock = asyncio.Lock()
+    # the single in-flight-or-last-finished async duplicate-scan job:
+    # {"id": str, "task": asyncio.Task, "threshold": float}
+    dup_job: dict = {}
+
+    def _dup_progress() -> float:
+        from image_search_tpu.utils.metrics import global_metrics
+
+        return global_metrics.snapshot()["gauges"].get("duplicate_scan_progress", 0.0)
 
     async def duplicates(request: web.Request) -> web.Response:
         """GET /duplicates[?threshold=0.95] -> {"groups": [["media/.."]]}.
@@ -182,13 +190,72 @@ def build_app(
         cosine (the reference has no counterpart). Single-flight like
         /scan: the O(corpus) batched self-scan must not run concurrently
         with itself (a double-click would double device load and stall
-        interactive searches behind it)."""
+        interactive searches behind it).
+
+        At 10M rows the self-scan is minutes of device time, so big
+        corpora use the non-blocking job flow instead of holding an HTTP
+        request open: ``GET /duplicates?async=1`` answers 202 with a job
+        id immediately; poll ``GET /duplicates?job=<id>`` for 202
+        ``{"state": "running", "progress": 0..1}`` until 200
+        ``{"groups": ...}``. A second async request while one runs joins
+        the running job (single-flight)."""
+        job_id = request.query.get("job")
+        if job_id is not None:
+            if not dup_job or dup_job["id"] != job_id:
+                return web.json_response({"error": "unknown job"}, status=404)
+            task = dup_job["task"]
+            if not task.done():
+                return web.json_response(
+                    {"job": job_id, "state": "running", "progress": _dup_progress()},
+                    status=202,
+                )
+            if task.exception() is not None:
+                log.error("duplicate scan job failed", exc_info=task.exception())
+                return web.json_response(
+                    {"job": job_id, "state": "failed"}, status=500
+                )
+            return web.json_response(
+                {"job": job_id, "state": "done", "groups": task.result()}
+            )
         try:
             threshold = float(request.query.get("threshold", "0.95"))
         except ValueError:
             return web.json_response({"error": "bad threshold"}, status=400)
         if not (0.0 < threshold <= 1.0):
             return web.json_response({"error": "threshold must be in (0, 1]"}, status=400)
+        if request.query.get("async") in ("1", "true"):
+            if dup_job and not dup_job["task"].done():
+                return web.json_response(
+                    {
+                        "job": dup_job["id"],
+                        "state": "running",
+                        "progress": _dup_progress(),
+                    },
+                    status=202,
+                )
+            import uuid
+
+            async def run_job():
+                async with dup_lock:
+                    return await asyncio.to_thread(
+                        engine.find_duplicate_groups, threshold
+                    )
+
+            job = {
+                "id": uuid.uuid4().hex[:12],
+                "task": asyncio.get_running_loop().create_task(run_job()),
+                "threshold": threshold,
+            }
+            dup_job.clear()
+            dup_job.update(job)
+            return web.json_response(
+                {
+                    "job": job["id"],
+                    "state": "running",
+                    "poll": f"/duplicates?job={job['id']}",
+                },
+                status=202,
+            )
         async with dup_lock:
             groups = await asyncio.to_thread(engine.find_duplicate_groups, threshold)
         return web.json_response({"groups": groups})

@@ -72,6 +72,10 @@ class SearchEngine:
         # dict concurrently; unguarded next(iter(...)) eviction can raise
         # "dictionary changed size during iteration" under load
         self._text_lock = threading.Lock()
+        # row -> wire-dict template cache (see _wire_row); append-only,
+        # extended under the lock by whichever search thread first needs it
+        self._wire_cache: List[dict] = []
+        self._wire_lock = threading.Lock()
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
         # explicitly removed images (POST /remove): scans skip these until
         # the user deletes the files or the paths are re-added
@@ -272,20 +276,38 @@ class SearchEngine:
                 global_metrics.inc("batched_feedback_searches", n_feedback)
         return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
 
-    def _format_results(self, scores_row, idx_row):
-        from image_search_tpu.server.wire import ImageReference
+    def _wire_row(self, row: int) -> dict:
+        """Precomputed ``{"id", "image_path"}`` template for an index row
+        (id = urlencoded path, data/src/lib.rs:19-26). Built ONCE per row,
+        lazily, instead of relpath+urlencode for k=1000 rows on every
+        request (round-2 review: formatting dominated host-side latency).
+        ``index.paths`` is append-only (tombstones mask rows in place;
+        compaction is offline), so cache rows never go stale."""
+        cache = self._wire_cache
+        if row >= len(cache):
+            with self._wire_lock:
+                paths = self.index.paths
+                for r2 in range(len(cache), len(paths)):
+                    media = self.to_media_path(paths[r2])
+                    cache.append(
+                        {
+                            "id": urllib.parse.quote(media, safe=""),
+                            "image_path": media,
+                        }
+                    )
+        return cache[row]
 
+    def _format_results(self, scores_row, idx_row):
+        idx_np = np.asarray(idx_row).reshape(-1)
+        sc_np = np.asarray(scores_row).reshape(-1)
+        # sentinel rows: k exceeded the live corpus (tombstoned or padded
+        # rows carry NEG_INF-class scores) — never surface
+        keep = sc_np > NEG_INF / 2
         out = []
-        for row, score in zip(
-            np.asarray(idx_row).reshape(-1), np.asarray(scores_row).reshape(-1)
-        ):
-            if score <= NEG_INF / 2:
-                # sentinel rows: k exceeded the live corpus (tombstoned or
-                # padded rows carry NEG_INF-class scores) — never surface
-                continue
-            media = self.to_media_path(self.index.paths[int(row)])
-            # ImageReference: id = urlencoded path (data/src/lib.rs:19-26)
-            out.append(ImageReference.for_path(media, float(score)).to_json())
+        for row, score in zip(idx_np[keep], sc_np[keep]):
+            d = dict(self._wire_row(int(row)))
+            d["score"] = float(score)
+            out.append(d)
         return out
 
     # Text-tower output cached per query string (LRU): feedback rounds
@@ -318,13 +340,36 @@ class SearchEngine:
         self._cache_put(query, emb)
         return emb
 
-    def find_duplicate_groups(self, threshold: float = 0.95):
+    # above this corpus size, duplicate scans default to approx_max_k
+    # candidates (recall ~0.95 per query side; near-dups score far above
+    # typical neighbors, so group recall stays high) — an exact 10M
+    # self-scan is ~10k batched searches and minutes of device time
+    DUPLICATES_APPROX_ABOVE = 1_000_000
+
+    def find_duplicate_groups(self, threshold: float = 0.95, approx: Optional[bool] = None):
         """Near-duplicate photo groups (cosine >= threshold), as lists of
         'media/...' paths sorted largest-group first. Union-find over the
         index's batched self-scan; a capability the reference's
-        out-of-process approximate index cannot offer at all."""
+        out-of-process approximate index cannot offer at all.
+
+        Publishes ``duplicate_scan_progress`` (0..1) to /metrics while
+        running, so the async /duplicates job is observable. ``approx``
+        defaults to exact below :data:`DUPLICATES_APPROX_ABOVE` rows and
+        approximate above."""
+        if approx is None:
+            approx = len(self.index) > self.DUPLICATES_APPROX_ABOVE
+
+        def _progress(done: int, total: int) -> None:
+            global_metrics.gauge(
+                "duplicate_scan_progress", round(done / max(total, 1), 4)
+            )
+
+        _progress(0, 1)
         with global_metrics.timer("duplicate_scan"):
-            pairs = self.index.find_near_duplicates(threshold=threshold)
+            pairs = self.index.find_near_duplicates(
+                threshold=threshold, approx=approx, progress=_progress
+            )
+        _progress(1, 1)
         parent: dict = {}
 
         def find(x):

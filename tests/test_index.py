@@ -934,3 +934,18 @@ def test_store_exclude_paths_records_rowless_exclusion(tmp_path, rng):
     assert store2.excluded_paths() == {"/pics/pruned_long_ago.jpg"}
     live, dead = store2.liveness()
     assert int(live.sum()) == 10  # all real rows still live
+
+
+def test_find_near_duplicates_progress_callback(rng):
+    """Long self-scans must be observable: the progress callback fires per
+    batch with monotonically increasing (done, total)."""
+    paths, emb = make_data(rng, 300)
+    emb[200] = emb[10] * 2.0
+    idx = VectorIndex(DIM)
+    idx.add(paths, emb)
+    calls = []
+    pairs = idx.find_near_duplicates(
+        threshold=0.999, batch=128, progress=lambda d, t: calls.append((d, t))
+    )
+    assert {(i, j) for i, j, _ in pairs} == {(10, 200)}
+    assert calls == [(128, 300), (256, 300), (300, 300)]

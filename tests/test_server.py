@@ -551,3 +551,96 @@ def test_remove_accounting_and_remove_after_prune(tmp_path):
     eng2 = SearchEngine(args)
     assert eng2.scan().embedded == 0
     assert all(r["image_path"] != other for r in eng2.search("x"))
+
+
+def test_duplicates_async_job_flow(tmp_path):
+    """Big-corpus contract (round-2 review): /duplicates?async=1 answers
+    202 immediately with a job id; polling ?job=<id> yields running (with
+    progress) then done+groups; unknown jobs 404; a second async request
+    joins the in-flight job instead of double-scanning."""
+    import time
+
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(os.path.join(media, "orig.png"))
+    Image.fromarray(arr).save(os.path.join(media, "copy.png"))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+
+    # slow the scan so the running state is observable
+    real = eng.find_duplicate_groups
+
+    def slow(threshold=0.95, approx=None):
+        time.sleep(0.3)
+        return real(threshold, approx)
+
+    eng.find_duplicate_groups = slow
+
+    loop = asyncio.new_event_loop()
+
+    async def drive():
+        c = TestClient(TestServer(build_app(eng)))
+        await c.start_server()
+        try:
+            r = await c.get("/duplicates", params={"threshold": "0.999", "async": "1"})
+            assert r.status == 202
+            body = await r.json()
+            job = body["job"]
+            assert body["state"] == "running" and body["poll"].endswith(job)
+
+            # joining: a second async request returns the SAME job
+            r2 = await c.get("/duplicates", params={"async": "1"})
+            assert r2.status == 202
+            assert (await r2.json())["job"] == job
+
+            assert (await c.get("/duplicates", params={"job": "nope"})).status == 404
+
+            for _ in range(100):
+                r3 = await c.get("/duplicates", params={"job": job})
+                if r3.status == 200:
+                    break
+                assert r3.status == 202
+                st = await r3.json()
+                assert st["state"] == "running"
+                assert 0.0 <= st["progress"] <= 1.0
+                await asyncio.sleep(0.05)
+            final = await r3.json()
+            assert final["state"] == "done"
+            assert final["groups"] == [["media/copy.png", "media/orig.png"]]
+
+            # job finished: a NEW async request starts a fresh job
+            r4 = await c.get("/duplicates", params={"threshold": "0.999", "async": "1"})
+            assert r4.status == 202
+            assert (await r4.json())["job"] != job
+        finally:
+            await c.close()
+
+    loop.run_until_complete(drive())
+    loop.close()
+
+
+def test_duplicates_progress_gauge_published(tmp_path):
+    """find_duplicate_groups publishes duplicate_scan_progress to metrics,
+    ending at 1.0."""
+    from image_search_tpu.utils.metrics import global_metrics
+
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=3)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    eng.find_duplicate_groups(threshold=0.999)
+    assert global_metrics.snapshot()["gauges"]["duplicate_scan_progress"] == 1.0
