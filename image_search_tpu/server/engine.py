@@ -76,6 +76,12 @@ class SearchEngine:
         # extended under the lock by whichever search thread first needs it
         self._wire_cache: List[dict] = []
         self._wire_lock = threading.Lock()
+        self.thumb_cache = None
+        if getattr(args, "thumb_cache", ""):
+            from image_search_tpu.ingest.thumbcache import ThumbCache
+
+            self.thumb_cache = ThumbCache(args.thumb_cache)
+            log.info("thumbnail cache enabled at %s", args.thumb_cache)
         store = EmbeddingStore(args.index_dir, cfg.projection_dim)
         # explicitly removed images (POST /remove): scans skip these until
         # the user deletes the files or the paths are re-added
@@ -482,24 +488,45 @@ class SearchEngine:
         return n
 
     def scan(self) -> ScanStats:
-        """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151)."""
-        # Multi-host partitioning feeds DIFFERENT data/call-counts per
-        # process, which is only legal when each process owns its own
-        # process-local index. With a globally sharded index every process
-        # must issue identical jit calls (SPMD), so all hosts scan the full
-        # directory and dedup makes the duplicate adds no-ops.
-        partition = jax.process_count() > 1 and self.mesh is None
+        """The ``GET /scan`` ingest (search.rs:104-126 -> clip.rs:42-151).
+
+        Multi-host: with a PROCESS-LOCAL index each process partitions the
+        walk and runs the plain pipeline independently. With a globally
+        sharded index every process must issue identical jit programs
+        (SPMD), so the partitioned-decode SPMD scan runs instead — hosts
+        decode disjoint subsets, exchange decode masks + embeddings, and
+        apply identical merged index adds (round 2 had every host decode
+        the FULL corpus here)."""
+        multi = jax.process_count() > 1
+        partition = multi and self.mesh is None
+        spmd = multi and self.mesh is not None
         with global_metrics.timer("scan"):
-            stats = scan_directory(
-                self.embedder,
-                self.index,
-                self.media_dir,
-                chunk_size=self.args.chunk_size,
-                decode_workers=self.args.decode_workers,
-                process_index=jax.process_index() if partition else 0,
-                process_count=jax.process_count() if partition else 1,
-                skip_paths=self._excluded,
-            )
+            if spmd:
+                from image_search_tpu.ingest.pipeline import scan_directory_spmd
+
+                stats = scan_directory_spmd(
+                    self.embedder,
+                    self.index,
+                    self.media_dir,
+                    chunk_size=self.args.chunk_size,
+                    decode_workers=self.args.decode_workers,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                    skip_paths=self._excluded,
+                    thumb_cache=self.thumb_cache,
+                )
+            else:
+                stats = scan_directory(
+                    self.embedder,
+                    self.index,
+                    self.media_dir,
+                    chunk_size=self.args.chunk_size,
+                    decode_workers=self.args.decode_workers,
+                    process_index=jax.process_index() if partition else 0,
+                    process_count=jax.process_count() if partition else 1,
+                    skip_paths=self._excluded,
+                    thumb_cache=self.thumb_cache,
+                )
         if getattr(self.args, "prune_on_scan", False):
             stats.pruned = self.prune_missing()
         global_metrics.inc("scans")

@@ -86,9 +86,16 @@ def _tower_block_specs(tp: bool, fsdp: bool) -> Dict[str, P]:
     }
 
 
-# big non-block 2D params that pay FSDP sharding (biases/LN/pos-emb don't)
+# big non-block 2D params that pay FSDP sharding (biases/LN/pos-emb don't).
+# token_embedding shards over D, not V: sharding the GATHER dim makes GSPMD
+# produce the embedding gradient (model-axis-sharded by the first TP qkv
+# matmul's backward) and then re-shard it onto data-over-V — a device-order
+# transpose it can only do by "Involuntary full rematerialization"
+# (replicate + repartition, wasted ICI every step; observed in the 4x2
+# FSDP+TP dryrun, fixed round 3). D-sharding gives the same N-fold
+# param/moment memory saving with a clean transform.
 _FSDP_TOP_LEVEL = {
-    "token_embedding": P(DATA_AXIS, None),  # [V, D] — the largest text param
+    "token_embedding": P(None, DATA_AXIS),  # [V, D] — the largest text param
     "patch_embedding": P(None, DATA_AXIS),  # [patch_dim, D]
     "projection": P(DATA_AXIS, None),  # [D, proj]
 }

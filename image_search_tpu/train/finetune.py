@@ -26,6 +26,36 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+class BatchPrefetcher:
+    """Keeps ONE batch of host work (decode + preprocess + tokenize) in
+    flight on a background thread, so step N+1's input is built while the
+    device runs step N — the same software double-buffer the ingest
+    pipeline uses (ingest/pipeline.py). Without it the chip idles for the
+    full decode time between steps (round-2 review: ~500 ms of decode per
+    396 ms step at batch 64 = >50% input-bound).
+
+    ``make_batch()`` runs strictly serialized on the single worker thread,
+    so shared state inside it (the sampling RNG, the decode pool) needs no
+    extra locking and batch order stays deterministic."""
+
+    def __init__(self, make_batch):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._make = make_batch
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._inflight = self._pool.submit(make_batch)
+
+    def next(self):
+        """Return the ready batch and immediately start building the next
+        one (overlapping whatever the caller does with the result)."""
+        batch = self._inflight.result()
+        self._inflight = self._pool.submit(self._make)
+        return batch
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
 def find_pairs(data_dir: str) -> List[Tuple[str, str]]:
     """(image_path, caption) pairs via .txt sidecars."""
     from image_search_tpu.ingest.walk import iter_images
@@ -59,6 +89,7 @@ def run_finetune(
     log_every: int = 10,
     checkpoint_dir: str | None = None,
     save_every: int = 100,
+    thumb_cache=None,
 ):
     """Returns (trained params, list of losses). Pure-Python loop around the
     jitted mesh-sharded train step."""
@@ -88,32 +119,43 @@ def run_finetune(
             state = restored
 
     rng = random.Random(seed)
-    pool = DecodePool(workers=8)
+    pool = DecodePool(workers=8, thumb_cache=thumb_cache)
+
+    def make_batch():
+        """Decode + preprocess + tokenize one batch (host work only).
+        Runs on the prefetch thread, overlapped with the device step."""
+        # keep the batch EXACTLY batch_size: a short batch breaks
+        # mesh in_shardings divisibility and forces jit retraces
+        images, captions = [], []
+        for _ in range(5):  # refill rounds for decode failures
+            need = batch_size - len(images)
+            if need == 0:
+                break
+            batch = [pairs[rng.randrange(len(pairs))] for _ in range(need)]
+            kept, decoded = pool.decode_batch([p for p, _ in batch])
+            cap_by_path = {p: c for p, c in batch}
+            images.extend(decoded)
+            captions.extend(cap_by_path[p] for p in kept)
+        if len(images) < batch_size:
+            return None
+        pixels = np.asarray(
+            preprocess_images(
+                images, size=cfg.vision.image_size, mode=preprocess_mode
+            ),
+            np.float32,
+        )
+        ids = tokenizer(captions, cfg.text.context_length)
+        return ids, pixels
+
     losses: List[float] = []
+    prefetcher = BatchPrefetcher(make_batch)
     try:
         for step in range(int(state.step), steps):
-            # keep the batch EXACTLY batch_size: a short batch breaks
-            # mesh in_shardings divisibility and forces jit retraces
-            images, captions = [], []
-            for _ in range(5):  # refill rounds for decode failures
-                need = batch_size - len(images)
-                if need == 0:
-                    break
-                batch = [pairs[rng.randrange(len(pairs))] for _ in range(need)]
-                kept, decoded = pool.decode_batch([p for p, _ in batch])
-                cap_by_path = {p: c for p, c in batch}
-                images.extend(decoded)
-                captions.extend(cap_by_path[p] for p in kept)
-            if len(images) < batch_size:
+            batch = prefetcher.next()  # next batch builds during this step
+            if batch is None:
                 log.warning("step %d skipped: could not fill batch", step)
                 continue
-            pixels = np.asarray(
-                preprocess_images(
-                    images, size=cfg.vision.image_size, mode=preprocess_mode
-                ),
-                np.float32,
-            )
-            ids = tokenizer(captions, cfg.text.context_length)
+            ids, pixels = batch
             state, metrics = step_fn(state, ids, pixels)
             loss = float(metrics["loss"])
             losses.append(loss)
@@ -127,6 +169,7 @@ def run_finetune(
 
                 save_train_state(checkpoint_dir, state)
     finally:
+        prefetcher.close()
         pool.close()
     if checkpoint_dir:
         from image_search_tpu.train.checkpoint import save_train_state

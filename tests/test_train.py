@@ -309,3 +309,112 @@ def test_fsdp_train_state_checkpoint_roundtrip(tmp_path, rng):
     s1, m1 = step_fn(state, jnp.asarray(ids), jnp.asarray(pix))
     s2, m2 = step_fn(restored, jnp.asarray(ids), jnp.asarray(pix))
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+
+
+def test_batch_prefetcher_overlaps_producer_with_consumer():
+    """Round-2 review Weak #8: the fine-tune data path must build step
+    N+1's batch WHILE step N runs. The prefetcher starts make_batch for
+    the next batch the moment the current one is handed out, so after a
+    consumer 'step' longer than the build time, the next batch is ready
+    with (near-)zero wait."""
+    import threading
+    import time
+
+    from image_search_tpu.train.finetune import BatchPrefetcher
+
+    BUILD = 0.15
+    starts, seq = [], []
+    lock = threading.Lock()
+
+    def make_batch():
+        with lock:
+            starts.append(time.monotonic())
+            seq.append(f"build{len(starts)}-start")
+        time.sleep(BUILD)
+        with lock:
+            seq.append(f"build{len(starts)}-end")
+        return len(starts)
+
+    pf = BatchPrefetcher(make_batch)
+    try:
+        b1 = pf.next()  # waits for batch 1, kicks off batch 2
+        assert b1 == 1
+        with lock:
+            seq.append("step1-start")
+        time.sleep(BUILD * 1.5)  # the "device step"
+        with lock:
+            seq.append("step1-end")
+        t0 = time.monotonic()
+        b2 = pf.next()
+        wait = time.monotonic() - t0
+        assert b2 == 2
+        # batch 2 was fully built during step 1: no wait at the handoff
+        assert wait < BUILD / 3, f"prefetch did not overlap (waited {wait:.3f}s)"
+        # and its build STARTED before the step finished
+        assert seq.index("build2-start") < seq.index("step1-end")
+    finally:
+        pf.close()
+
+
+def test_batch_prefetcher_serializes_builds():
+    """make_batch mutates shared state (RNG, decode pool) without locks —
+    legal only because builds are strictly serialized on one thread."""
+    import threading
+    import time
+
+    from image_search_tpu.train.finetune import BatchPrefetcher
+
+    active = 0
+    max_active = 0
+    lock = threading.Lock()
+
+    def make_batch():
+        nonlocal active, max_active
+        with lock:
+            active += 1
+            max_active = max(max_active, active)
+        time.sleep(0.02)
+        with lock:
+            active -= 1
+        return object()
+
+    pf = BatchPrefetcher(make_batch)
+    try:
+        for _ in range(5):
+            pf.next()
+    finally:
+        pf.close()
+    assert max_active == 1
+
+
+def test_fsdp_tp_step_compiles_without_involuntary_remat(rng, capfd):
+    """Round-2 review Weak #4: the 4x2 FSDP+TP composition made GSPMD log
+    'Involuntary full rematerialization' (replicate+repartition of the
+    token-embedding gradient — wasted interconnect every step). Sharding
+    token_embedding over D instead of the gather dim V fixed it; this
+    compiles the same composition and asserts the warning stays gone."""
+    import optax
+
+    from image_search_tpu.config import tiny_test_config
+    from image_search_tpu.models import init_params
+    from image_search_tpu.parallel import make_mesh
+    from image_search_tpu.train import make_train_step
+
+    cfg = tiny_test_config()
+    mesh = make_mesh(4, 2)
+    init_fn, step_fn = make_train_step(
+        cfg, optax.adamw(1e-4), mesh=mesh, fsdp=True
+    )
+    state = init_fn(init_params(jax.random.key(0), cfg))
+    B = 16
+    ids = rng.integers(
+        1, cfg.text.eos_token_id - 1, size=(B, cfg.text.context_length)
+    ).astype(np.int32)
+    ids[:, -1] = cfg.text.eos_token_id
+    pix = rng.normal(
+        size=(B, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    capfd.readouterr()  # drain
+    step_fn.lower(state, ids, pix).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
