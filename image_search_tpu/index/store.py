@@ -94,29 +94,29 @@ class EmbeddingStore:
         last_at: dict = {}
         for at, p, _x in tombs:
             last_at[p] = at
-        last_row: dict = {}
+        # ONE pass over the segment path files (round-2 review: the old
+        # two-loop version read and JSON-parsed every path file twice on
+        # startup): collect each tombstoned path's occurrence rows, then
+        # derive liveness from the occurrence lists alone.
+        occurrences: dict = {p: [] for p in last_at}
         base = 0
-        segs = self._all_segs()
-        for seg in segs:
+        for seg in self._all_segs():
             for i, p in enumerate(self._read_seg_paths(seg)):
                 if p in last_at:
-                    last_row[p] = base + i
+                    occurrences[p].append(base + i)
             base += seg[1]
         live = np.ones(base, bool)
         dead_paths = set()
         for p, at in last_at.items():
-            if last_row.get(p, -1) < at:
+            rows = occurrences[p]
+            last_row = rows[-1] if rows else -1
+            if last_row < at:
                 dead_paths.add(p)
-        # mark every occurrence of a tombstoned path dead except a live
-        # last occurrence
-        base = 0
-        for seg in segs:
-            for i, p in enumerate(self._read_seg_paths(seg)):
-                if p in last_at:
-                    g = base + i
-                    if not (g == last_row[p] and g >= last_at[p]):
-                        live[g] = False
-            base += seg[1]
+            # every occurrence dies except a last occurrence at-or-after
+            # the path's final tombstone (a re-add after deletion)
+            for g in rows:
+                if not (g == last_row and g >= at):
+                    live[g] = False
         return live, dead_paths
 
     def _apply_tombstones_to_path_set(self) -> None:

@@ -61,18 +61,40 @@ def decode_image(path: str, draft_target: int = _DRAFT_TARGET) -> Optional[np.nd
 
 
 class DecodePool:
-    """Thread-pool batch decoder: paths -> (kept_paths, arrays)."""
+    """Thread-pool batch decoder: paths -> (kept_paths, arrays).
 
-    def __init__(self, workers: int = 16, draft_target: int = _DRAFT_TARGET):
+    With a ``thumb_cache`` (ingest/thumbcache.py), every path is looked up
+    in the persistent tile cache first; only misses pay a full decode, and
+    the decoded tile is persisted so NO photo is ever fully decoded twice —
+    across rescans, restarts, and model upgrades."""
+
+    def __init__(
+        self,
+        workers: int = 16,
+        draft_target: int = _DRAFT_TARGET,
+        thumb_cache=None,
+    ):
         self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="decode")
         # batch orchestration runs on its OWN thread: submitting it to the
         # worker pool would deadlock at workers=1 (the orchestrator occupies
         # the only worker while its map() tasks queue behind it forever)
         self._batcher = ThreadPoolExecutor(max_workers=2, thread_name_prefix="decode-batch")
         self._draft = draft_target
+        self._thumbs = thumb_cache
+
+    def _decode_one(self, path: str) -> Optional[np.ndarray]:
+        if self._thumbs is not None:
+            tile = self._thumbs.get(path)
+            if tile is not None:
+                return tile
+            arr = decode_image(path, self._draft)
+            if arr is None:
+                return None
+            return self._thumbs.put(path, arr)
+        return decode_image(path, self._draft)
 
     def decode_batch(self, paths: Sequence[str]) -> Tuple[List[str], List[np.ndarray]]:
-        results = list(self._pool.map(lambda p: decode_image(p, self._draft), paths))
+        results = list(self._pool.map(self._decode_one, paths))
         kept_paths, images = [], []
         for path, arr in zip(paths, results):
             if arr is not None:

@@ -31,6 +31,9 @@ class ServerArgs:
     mesh_data: Optional[int] = None  # None => all devices
     mesh_model: int = 1
     decode_workers: int = 16
+    # persistent decoded-tile cache dir: rescans/model upgrades skip full
+    # decode entirely (ingest/thumbcache.py); empty = disabled
+    thumb_cache: str = ""
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
     prune_on_scan: bool = False  # tombstone indexed images whose files vanished
@@ -79,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-data", type=int, default=d.mesh_data)
     p.add_argument("--mesh-model", type=int, default=d.mesh_model)
     p.add_argument("--decode-workers", type=int, default=d.decode_workers)
+    p.add_argument("--thumb-cache", dest="thumb_cache", default=d.thumb_cache,
+                   help="dir for the persistent decoded-tile cache; rescans "
+                        "and re-embeddings skip full image decode")
     p.add_argument("--k", type=int, default=d.k)
     p.add_argument("--batch-window-ms", type=float, default=d.batch_window_ms,
                    help="coalesce concurrent text searches arriving within "

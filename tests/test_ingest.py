@@ -202,3 +202,121 @@ def test_walker_dedups_diamond_symlinks(tmp_path):
     (lib / "b").symlink_to(real, target_is_directory=True)
     found = find_images(str(lib), shuffle=False)
     assert len(found) == 2
+
+
+# --- thumbnail cache (round-3: decode each original once, ever) ---
+
+
+def _thumb_corpus(root, n=4, size=(900, 1200)):
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(n):
+        p = os.path.join(root, f"big_{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 256, size=size + (3,), dtype=np.uint8)
+        ).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_thumb_cache_roundtrip_and_invalidation(tmp_path):
+    import os
+    import time
+
+    import numpy as np
+
+    from image_search_tpu.ingest.decode import decode_image
+    from image_search_tpu.ingest.thumbcache import ThumbCache
+
+    (p,) = _thumb_corpus(str(tmp_path / "pics"), n=1)
+    cache = ThumbCache(str(tmp_path / "thumbs"), max_edge=448)
+    assert cache.get(p) is None  # cold
+    full = decode_image(p, draft_target=0)
+    tile = cache.put(p, full)
+    # shortest edge shrunk to max_edge, aspect kept
+    assert min(tile.shape[:2]) == 448
+    assert abs(tile.shape[1] / tile.shape[0] - full.shape[1] / full.shape[0]) < 0.01
+    # hit returns BIT-IDENTICAL pixels to what put returned (first-scan and
+    # rescan embeddings agree)
+    hit = cache.get(p)
+    np.testing.assert_array_equal(hit, tile)
+
+    # touching the original invalidates the entry (stale key misses)
+    time.sleep(0.01)
+    os.utime(p)
+    assert cache.get(p) is None
+    cache.put(p, full)
+    assert cache.get(p) is not None
+    # superseded tile swept: exactly one entry for this path remains
+    import glob
+
+    entries = glob.glob(str(tmp_path / "thumbs" / "*" / "*.jpg"))
+    assert len(entries) == 1
+
+
+def test_decode_pool_uses_thumb_cache(tmp_path, monkeypatch):
+    """Second decode_batch must not touch the originals at all."""
+    from image_search_tpu.ingest import decode as decode_mod
+    from image_search_tpu.ingest.decode import DecodePool
+    from image_search_tpu.ingest.thumbcache import ThumbCache
+
+    paths = _thumb_corpus(str(tmp_path / "pics"), n=3)
+    cache = ThumbCache(str(tmp_path / "thumbs"))
+    calls = []
+    real = decode_mod.decode_image
+    monkeypatch.setattr(
+        decode_mod, "decode_image", lambda p, d: calls.append(p) or real(p, d)
+    )
+    pool = DecodePool(workers=2, thumb_cache=cache)
+    try:
+        kept1, imgs1 = pool.decode_batch(paths)
+        assert len(kept1) == 3 and len(calls) == 3
+        kept2, imgs2 = pool.decode_batch(paths)
+        assert kept2 == kept1
+        assert len(calls) == 3  # zero full decodes on the warm pass
+        import numpy as np
+
+        for a, b in zip(imgs1, imgs2):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        pool.close()
+    assert cache.hits == 3 and cache.misses == 3
+
+
+def test_scan_with_thumb_cache_embeddings_stable(tmp_path):
+    """A rescan from tiles must index the SAME vectors the cold scan did;
+    a fresh index rebuilt via the cache matches too (the model-upgrade
+    re-embedding path)."""
+    import jax
+    import numpy as np
+
+    from image_search_tpu.config import get_config
+    from image_search_tpu.index import VectorIndex
+    from image_search_tpu.ingest.pipeline import scan_directory
+    from image_search_tpu.ingest.thumbcache import ThumbCache
+    from image_search_tpu.models import get_model_module
+    from image_search_tpu.models.embedder import ClipEmbedder
+
+    _thumb_corpus(str(tmp_path / "pics"), n=3, size=(500, 640))
+    cfg = get_config("clip-tiny-test")
+    params = get_model_module(cfg).init_params(jax.random.key(0), cfg)
+    embedder = ClipEmbedder(params, cfg)
+    cache = ThumbCache(str(tmp_path / "thumbs"))
+
+    idx1 = VectorIndex(cfg.projection_dim)
+    scan_directory(embedder, idx1, str(tmp_path / "pics"), thumb_cache=cache)
+    assert cache.misses == 3 and len(idx1) == 3
+
+    idx2 = VectorIndex(cfg.projection_dim)
+    scan_directory(embedder, idx2, str(tmp_path / "pics"), thumb_cache=cache)
+    assert cache.hits >= 3 and len(idx2) == 3
+    for p in idx1.live_paths():
+        np.testing.assert_array_equal(
+            idx1.get_raw_embeddings([p]), idx2.get_raw_embeddings([p])
+        )
