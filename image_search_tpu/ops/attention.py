@@ -371,6 +371,110 @@ def fused_qkv_attention(
     )(x, qkv_w, qkv_b.reshape(1, -1))
 
 
+# ---------------------------------------------------------------------------
+# Split-key kernel: dodge the S=257 -> 384 lane padding
+#
+# The shipped kernel's [S, S] logits pad 257 lanes up to 384 on EVERY QK and
+# PV matmul (1.49x wasted MXU work; the variant ladder pinned the core at
+# 37 TFLOP/s vs a ~98 ceiling, docs/PERF_NOTES.md round 2). Here keys/values
+# are padded once to 264 in HBM and split in-kernel into an ALIGNED 256-key
+# main block plus an 8-wide tail (1 real key + 7 masked): the MXU then works
+# on [S, 256] + [S, 8] tiles — 264 effective lanes instead of 384 — with an
+# exact two-block softmax (shared max/denominator, no online iteration
+# needed since both blocks sit in VMEM).
+# ---------------------------------------------------------------------------
+
+_TAIL = 8  # sublane quantum; smallest tail block Mosaic accepts
+
+
+def _attn_kernel_split(
+    q_ref, k_ref, v_ref, o_ref, lm_ref, lt_ref, *, sm_scale: float, heads: int,
+    s_main: int, s_real: int,
+):
+    Sp = q_ref.shape[1]  # padded sequence (s_main + _TAIL)
+    Hd = q_ref.shape[2] // heads
+    for h in range(heads):
+        sl = slice(h * Hd, (h + 1) * Hd)
+        lm_ref[h] = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :s_main, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Sp, s_main] — fully lane-aligned
+        lt_ref[h] = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, s_main:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Sp, _TAIL]
+    lm = lm_ref[:] * sm_scale
+    lt = lt_ref[:] * sm_scale
+    # mask the fake tail keys (indices s_real..Sp-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _TAIL), 2)
+    lt = jnp.where(col < (s_real - s_main), lt, NEG_INF)
+    m = jnp.maximum(
+        jnp.max(lm, axis=-1, keepdims=True), jnp.max(lt, axis=-1, keepdims=True)
+    )
+    pm = jnp.exp(lm - m)
+    pt = jnp.exp(lt - m)
+    denom = jnp.sum(pm, axis=-1, keepdims=True) + jnp.sum(pt, axis=-1, keepdims=True)
+    pm = (pm / denom).astype(v_ref.dtype)
+    pt = (pt / denom).astype(v_ref.dtype)
+    for h in range(heads):
+        sl = slice(h * Hd, (h + 1) * Hd)
+        o_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                pm[h], v_ref[0, :s_main, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                pt[h], v_ref[0, s_main:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "sm_scale", "interpret"))
+def fused_attention_split(
+    q: jax.Array,  # [B, S, H*Hd] packed, S misaligned (e.g. 257)
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Split-key attention for lane-misaligned S (vision tower's 257).
+
+    Non-causal only (the vision tower; the causal text tower's S=77 is a
+    different alignment regime). Pads q/k/v to s_main+8 rows in HBM (an
+    XLA pad the compiler fuses into the producing matmul's epilogue) and
+    slices the output back to S."""
+    B, S, DH = q.shape
+    s_main = (S // 128) * 128
+    assert 0 < s_main < S <= s_main + _TAIL, (
+        f"S={S} not in the split kernel's regime (need s_main < S <= s_main+{_TAIL})"
+    )
+    Sp = s_main + _TAIL
+    pad = [(0, 0), (0, Sp - S), (0, 0)]
+    qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    spec = pl.BlockSpec((1, Sp, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_split, sm_scale=sm_scale, heads=heads,
+            s_main=s_main, s_real=S,
+        ),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((heads, Sp, s_main), jnp.float32),
+            pltpu.VMEM((heads, Sp, _TAIL), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, Sp, DH), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :S]
+
+
 def attention_reference(q, k, v, causal=False, sm_scale=1.0):
     """Plain-XLA oracle with identical semantics (tests + non-TPU fallback)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale

@@ -151,3 +151,41 @@ def test_packed_qkv_attention_gradients_match_reference():
     ga = jax.grad(loss_core)(qkv)
     gb = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5)
+
+
+def test_split_kernel_matches_reference(rng):
+    """Split-key kernel (aligned 256-key main + masked 8-wide tail) must be
+    numerically exact vs the oracle at the vision tower's S=257 and at a
+    second misaligned regime."""
+    from image_search_tpu.ops.attention import (
+        attention_reference,
+        fused_attention_split,
+    )
+
+    for B, S, H, Hd, scale in ((2, 257, 16, 64, 0.125), (3, 130, 4, 32, 0.2)):
+        q = rng.normal(size=(B, S, H, Hd)).astype(np.float32)
+        k = rng.normal(size=(B, S, H, Hd)).astype(np.float32)
+        v = rng.normal(size=(B, S, H, Hd)).astype(np.float32)
+        ref = attention_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), sm_scale=scale
+        )
+        got = fused_attention_split(
+            jnp.asarray(q.reshape(B, S, H * Hd)),
+            jnp.asarray(k.reshape(B, S, H * Hd)),
+            jnp.asarray(v.reshape(B, S, H * Hd)),
+            heads=H,
+            sm_scale=scale,
+            interpret=True,
+        ).reshape(B, S, H, Hd)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+
+def test_split_kernel_rejects_aligned_or_tiny_s():
+    from image_search_tpu.ops.attention import fused_attention_split
+
+    q = jnp.zeros((1, 77, 64), jnp.float32)
+    with pytest.raises(AssertionError):
+        fused_attention_split(q, q, q, heads=4, interpret=True)  # S < 128
+    q = jnp.zeros((1, 256, 64), jnp.float32)
+    with pytest.raises(AssertionError):
+        fused_attention_split(q, q, q, heads=4, interpret=True)  # aligned
