@@ -110,7 +110,21 @@ def _attention(
     if _use_fused_attention():
         from image_search_tpu.ops.attention import attention_core
 
-        out = attention_core(q, k, v, H, causal, 1.0, False)
+        # ISX_ATTN_SPLIT=1: route lane-misaligned non-causal attention
+        # (the vision tower's S=257) through the split-key kernel — the
+        # round-3 e2e A/B candidate (benchmarks/attn_split_bench.py)
+        import os as _os
+
+        from image_search_tpu.ops.attention import attention_split_core, split_regime
+
+        if (
+            not causal
+            and _os.environ.get("ISX_ATTN_SPLIT") == "1"
+            and split_regime(S)
+        ):
+            out = attention_split_core(q, k, v, H, 1.0, False)
+        else:
+            out = attention_core(q, k, v, H, causal, 1.0, False)
     else:
         from image_search_tpu.ops.attention import attention_reference
 

@@ -475,6 +475,48 @@ def fused_attention_split(
     return out[:, :S]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attention_split_core(q, k, v, heads: int, sm_scale: float, interpret: bool):
+    """Split-key attention with a VJP (XLA-oracle backward, like
+    attention_core). Non-causal only."""
+    return fused_attention_split(
+        q, k, v, heads=heads, sm_scale=sm_scale, interpret=interpret
+    )
+
+
+def _split_fwd(q, k, v, heads, sm_scale, interpret):
+    out = attention_split_core(q, k, v, heads, sm_scale, interpret)
+    return out, (q, k, v)
+
+
+def _split_bwd(heads, sm_scale, interpret, residuals, g):
+    q, k, v = residuals
+    B, S, DH = q.shape
+    Hd = DH // heads
+
+    def ref(q_, k_, v_):
+        return attention_reference(
+            q_.reshape(B, S, heads, Hd),
+            k_.reshape(B, S, heads, Hd),
+            v_.reshape(B, S, heads, Hd),
+            causal=False,
+            sm_scale=sm_scale,
+        ).reshape(B, S, DH)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+attention_split_core.defvjp(_split_fwd, _split_bwd)
+
+
+def split_regime(S: int) -> bool:
+    """True when the split-key kernel applies (lane-misaligned S with a
+    non-empty aligned main block, e.g. the vision tower's 257)."""
+    s_main = (S // 128) * 128
+    return 0 < s_main < S <= s_main + _TAIL
+
+
 def attention_reference(q, k, v, causal=False, sm_scale=1.0):
     """Plain-XLA oracle with identical semantics (tests + non-TPU fallback)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale
