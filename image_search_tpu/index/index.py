@@ -292,6 +292,9 @@ class VectorIndex:
                 "index restored from %s: %d live vectors (%d dead rows skipped)",
                 store.directory, self._size, skipped,
             )
+            # the index now owns its copy of every live path — free the
+            # store's startup path cache (~1 GB at 10M rows)
+            store.release_path_cache()
 
     # -- construction helpers ------------------------------------------------
 

@@ -68,6 +68,10 @@ class EmbeddingStore:
         # tombstone-log removal can never corrupt liveness
         self._tomb_gen = 0
         self._path_set: Set[str] = set()
+        # sealed-segment path cache for the multi-pass startup (see
+        # _read_seg_paths); dropped via release_path_cache()
+        self._paths_cache: dict = {}
+        self._cache_paths = True
         os.makedirs(directory, exist_ok=True)
         self._load()
         self._apply_tombstones_to_path_set()
@@ -273,15 +277,34 @@ class EmbeddingStore:
 
     def _read_seg_paths(self, seg: Tuple[str, int, str]) -> List[str]:
         name, rows, fmt = seg
+        # Startup makes several passes over the path files (dedup set,
+        # liveness, index restore) — at 10M rows each pass is ~30-40 s of
+        # JSON line parsing (measured, benchmarks/lifecycle_10m.py). SEALED
+        # segments are immutable, so their parsed paths are cached until
+        # release_path_cache() (called once the index has its own copy);
+        # the ACTIVE segment is always re-read.
+        cached = self._paths_cache.get(name)
+        if cached is not None:
+            return cached
         if fmt == "npy":
-            return self._read_paths_v1(name)
-        out: List[str] = []
-        with open(self._file(name, ".paths"), "rb") as f:
-            for ln in f:
-                ln = ln.strip()
-                if ln:
-                    out.append(json.loads(ln))
-        return out[:rows]
+            out = self._read_paths_v1(name)
+        else:
+            out = []
+            with open(self._file(name, ".paths"), "rb") as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if ln:
+                        out.append(json.loads(ln))
+            out = out[:rows]
+        if name != self._active and self._cache_paths:
+            self._paths_cache[name] = out
+        return out
+
+    def release_path_cache(self) -> None:
+        """Free the startup path cache (callers that keep their own copy of
+        the paths — the index — should release it after restore)."""
+        self._paths_cache.clear()
+        self._cache_paths = False
 
     def _read_seg_rows(self, seg: Tuple[str, int, str]) -> np.ndarray:
         name, rows, fmt = seg

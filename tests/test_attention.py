@@ -189,3 +189,34 @@ def test_split_kernel_rejects_aligned_or_tiny_s():
     q = jnp.zeros((1, 256, 64), jnp.float32)
     with pytest.raises(AssertionError):
         fused_attention_split(q, q, q, heads=4, interpret=True)  # aligned
+
+
+def test_split_core_gradients_match_reference(rng):
+    """ISX_ATTN_SPLIT must not change training: the split core's VJP (XLA
+    oracle backward) equals differentiating the reference directly."""
+    from image_search_tpu.ops.attention import (
+        attention_reference,
+        attention_split_core,
+    )
+
+    B, S, H, Hd = 2, 130, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+
+    def loss_split(q_, k_, v_):
+        return jnp.sum(attention_split_core(q_, k_, v_, H, 0.25, True) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        out = attention_reference(
+            q_.reshape(B, S, H, Hd),
+            k_.reshape(B, S, H, Hd),
+            v_.reshape(B, S, H, Hd),
+            sm_scale=0.25,
+        ).reshape(B, S, H * Hd)
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
