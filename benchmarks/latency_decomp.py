@@ -73,6 +73,13 @@ def main():
         tok = train_bpe(QUERIES * 200, vocab_size=2048)
         tok.save(tok_dir)
     tokenizer = CLIPBPETokenizer.from_dir(tok_dir, cfg.text.context_length)
+    # the trained demo vocab has its own eos id; keep the ViT-L tower dims
+    # (vocab table size drives the gather cost) and align only the eos
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, eos_token_id=tokenizer.eos_id)
+    )
 
     params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     embedder = ClipEmbedder(params, cfg, tokenizer=tokenizer)
