@@ -625,7 +625,7 @@ class VectorIndex:
         if not known:
             return self.search(text_embedding, k, approx)
         return self.search_with_feedback_batch(
-            np.asarray(text_embedding, np.float32).reshape(1, self.dim),
+            jnp.asarray(text_embedding, jnp.float32).reshape(1, self.dim),
             [list(selected_paths)],
             k,
             approx=approx,
@@ -647,7 +647,10 @@ class VectorIndex:
         the reference's per-request feedback flow (search.rs:34-77), which
         serializes on its DB mutex under concurrency."""
         B = len(selected_paths_list)
-        text = np.asarray(text_embeddings, np.float32).reshape(B, self.dim)
+        # jnp (not np): a device-resident query — e.g. the text tower's
+        # un-fetched output — must chain into this dispatch WITHOUT a host
+        # round-trip (the fully on-device query path, round 3)
+        text = jnp.asarray(text_embeddings, jnp.float32).reshape(B, self.dim)
         with self._lock:  # snapshot only; compute runs concurrently
             if self._size == 0:
                 return np.zeros((B, 0), np.float32), np.zeros((B, 0), np.int32)
@@ -668,9 +671,8 @@ class VectorIndex:
         sel = np.full((Bpad, m), -1, np.int32)
         for b, r in enumerate(rows_list):
             sel[b, : len(r)] = r
-        text_pad = np.zeros((Bpad, self.dim), np.float32)
-        text_pad[:B] = text
-        text_j, sel_j = jnp.asarray(text_pad), jnp.asarray(sel)
+        text_j = jnp.pad(text, ((0, Bpad - B), (0, 0)))
+        sel_j = jnp.asarray(sel)
         if self.mesh is None:
             s, i = _feedback_search_local(
                 slabs, norms, size, text_j, sel_j, k, scales, approx, pens

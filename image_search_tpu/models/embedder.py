@@ -173,8 +173,11 @@ class ClipEmbedder:
 
     # -- text path -------------------------------------------------------------
 
-    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
-        """Strings -> raw [N, projection_dim] f32 (tokenize + text tower)."""
+    def embed_texts_device(self, texts: Sequence[str]) -> jax.Array:
+        """Strings -> raw [N, projection_dim] f32 as an UN-FETCHED device
+        array: callers chaining into another device program (the index
+        search) avoid a host round-trip entirely — tokenize is the only
+        host work on the query path."""
         if self.tokenizer is None:
             raise ValueError("embedder constructed without a tokenizer")
         n = len(texts)
@@ -187,7 +190,11 @@ class ClipEmbedder:
             ids = np.concatenate([ids, pad_row])
         (ids_dev,) = self._shard_batch(ids) if self.mesh else (jnp.asarray(ids),)
         out = self._encode_text(self.params, input_ids=ids_dev)
-        return np.asarray(out)[:n]
+        return out[:n]
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Strings -> raw [N, projection_dim] f32 (tokenize + text tower)."""
+        return np.asarray(self.embed_texts_device(texts))
 
     def embed_text(self, text: str) -> np.ndarray:
         """Single query string -> [projection_dim] raw vector

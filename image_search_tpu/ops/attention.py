@@ -475,6 +475,44 @@ def fused_attention_split(
     return out[:, :S]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("heads", "s_real", "sm_scale", "interpret")
+)
+def fused_attention_split_padded(
+    qp: jax.Array,  # [B, Sp, H*Hd], Sp = s_main + 8, rows >= s_real zeroed
+    kp: jax.Array,
+    vp: jax.Array,
+    heads: int,
+    s_real: int,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Split-key kernel on ALREADY-padded operands (no per-call HBM pad/
+    slice) — for pipelines that keep S padded end-to-end. Output rows
+    >= s_real are garbage and must be masked/ignored by the caller."""
+    B, Sp, DH = qp.shape
+    s_main = Sp - _TAIL
+    spec = pl.BlockSpec((1, Sp, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_split, sm_scale=sm_scale, heads=heads,
+            s_main=s_main, s_real=s_real,
+        ),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((heads, Sp, s_main), jnp.float32),
+            pltpu.VMEM((heads, Sp, _TAIL), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, Sp, DH), qp.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def attention_split_core(q, k, v, heads: int, sm_scale: float, interpret: bool):
     """Split-key attention with a VJP (XLA-oracle backward, like

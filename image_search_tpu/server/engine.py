@@ -256,12 +256,16 @@ class SearchEngine:
         misses = [q for q in queries if q not in local]
         if misses:
             with global_metrics.timer("text_embed"):
-                embs = self.embedder.embed_texts(misses)
-            for q, e in zip(misses, embs):
-                local[q] = e
-                self._cache_put(q, e)
+                # device arrays, NOT fetched: the search dispatch below
+                # chains on them without a host round-trip
+                embs = self.embedder.embed_texts_device(misses)
+            for b, q in enumerate(misses):
+                local[q] = embs[b]
+                self._cache_put(q, embs[b])
         global_metrics.inc("text_embed_cache_hits", len(queries) - len(misses))
-        q_mat = np.stack([local[q] for q in queries])
+        import jax.numpy as _jnp
+
+        q_mat = _jnp.stack([_jnp.asarray(local[q]) for q in queries])
         sel_lists = [
             [p for p in (self._resolve_selection(m) for m in sel) if p is not None]
             for sel in (selections or [()] * len(queries))
@@ -342,7 +346,10 @@ class SearchEngine:
             global_metrics.inc("text_embed_cache_hits")
             return hit
         with global_metrics.timer("text_embed"):
-            emb = self.embedder.embed_text(query)
+            # un-fetched device value: index.search chains on it directly,
+            # so a cache-miss query costs ONE host<->device round-trip
+            # (results fetch), not two
+            emb = self.embedder.embed_texts_device([query])[0]
         self._cache_put(query, emb)
         return emb
 
