@@ -198,3 +198,54 @@ def test_spmd_scan_skips_excluded_and_existing(tmp_path, tiny_embedder):
     )
     assert stats2.embedded == 0
     assert stats2.skipped_existing == 6
+
+
+def test_spmd_hosts_agree_despite_decode_failures(tmp_path, tiny_embedder):
+    """A corrupt file on ONE host's partition must not desynchronize the
+    SPMD adds: the kept-mask exchange tells every host which slots failed,
+    and all indexes still converge identically."""
+    embedder, cfg = tiny_embedder
+    media = str(tmp_path / "pics")
+    N, H, CHUNK = 13, 2, 3
+    make_corpus(media, N)
+    # corrupt two files (they hash into some host's partition)
+    for name in ("img_001.png", "img_007.png"):
+        with open(os.path.join(media, name), "wb") as f:
+            f.write(b"not an image at all")
+
+    comm = ThreadComm(H, embedder, CHUNK, cfg.projection_dim)
+    indexes = [VectorIndex(cfg.projection_dim) for _ in range(H)]
+    stats_out = [None] * H
+    errors = []
+
+    def run_host(h):
+        try:
+            stats_out[h] = scan_directory_spmd(
+                embedder,
+                indexes[h],
+                media,
+                chunk_size=CHUNK,
+                decode_workers=2,
+                process_index=h,
+                process_count=H,
+                comm=comm.for_host(h),
+            )
+        except Exception as err:  # pragma: no cover
+            errors.append((h, err))
+            raise
+
+    threads = [threading.Thread(target=run_host, args=(h,)) for h in range(H)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    assert sum(st.decode_failures for st in stats_out) == 2
+    for st in stats_out:
+        assert st.embedded == N - 2  # identical global count on every host
+    base = indexes[0]
+    assert len(base) == N - 2
+    for idx in indexes[1:]:
+        assert idx.paths == base.paths
+    assert not base.has_path(os.path.join(media, "img_001.png"))
