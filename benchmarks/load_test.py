@@ -140,14 +140,30 @@ def main():
                 time.sleep(2)
         else:
             raise RuntimeError("server did not come up")
+        # wait (bounded) for the serving-bucket precompile so the ladder
+        # measures steady state, not first-hit XLA compiles
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(url + "/metrics", timeout=5) as r:
+                    if json.load(r)["gauges"].get("serving_warmup_done"):
+                        break
+            except Exception:
+                pass
+            time.sleep(2)
         for clients in [int(c) for c in args.ladder.split(",")]:
             row = asyncio.run(run_ladder(url, clients, args.requests,
                                          args.feedback_fraction, media_paths))
             print(json.dumps(row))
         with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
-            counters = json.load(r)["counters"]
+            metrics = json.load(r)
+        counters = metrics["counters"]
         print(json.dumps({"coalescing_counters": {
             k: v for k, v in counters.items() if "batch" in k or "feedback" in k}}))
+        # server-side stage percentiles: discriminates device-side stalls
+        # (index_search/text_embed p99 spikes) from client/event-loop
+        # contention (client p99 spikes while server stages stay flat)
+        print(json.dumps({"server_timers": metrics.get("latencies", {})}))
     finally:
         srv.terminate()
         srv.wait(timeout=30)

@@ -661,11 +661,15 @@ class VectorIndex:
             ]
             slabs, norms, scales, pens = self._snapshot()
             size = jnp.asarray(self._size, jnp.int32)
-        # pad selections and batch to pow2 buckets to bound jit variants
+        # pad selections and batch to pow2 buckets to bound jit variants.
+        # The batch bucket floors at 8: the score sweep is B-flat on the MXU
+        # (a matvec pads the query tile to 128 lanes regardless), so B=8
+        # costs what B=1 costs, and {8,16,32,...} is a small enough program
+        # family to precompile at startup (engine.warm_serving_buckets)
         m = 8
         while m < max((len(r) for r in rows_list), default=0):
             m *= 2
-        Bpad = 1
+        Bpad = 8
         while Bpad < B:
             Bpad *= 2
         sel = np.full((Bpad, m), -1, np.int32)

@@ -272,12 +272,16 @@ class SearchEngine:
         ]
         n_feedback = sum(1 for s in sel_lists if s)
         with global_metrics.timer("index_search"):
-            if n_feedback:
-                scores, idx = self.index.search_with_feedback_batch(
-                    q_mat, sel_lists, k, approx=self.args.search_approx
-                )
-            else:
-                scores, idx = self.index.search(q_mat, k, approx=self.args.search_approx)
+            # ALWAYS the batched feedback program, even for all-plain
+            # batches: an empty selection degrades to the plain search
+            # bitwise (_feedback_search_local), and index.search would run
+            # at the UNPADDED arrival count B — every distinct B compiles a
+            # fresh XLA program, which showed up as multi-second p99 stalls
+            # in the first 32-client load-test rung (benchmarks/RESULTS.md).
+            # One padded program family serves both.
+            scores, idx = self.index.search_with_feedback_batch(
+                q_mat, sel_lists, k, approx=self.args.search_approx
+            )
         global_metrics.inc("searches", len(queries))
         global_metrics.inc("searches_with_feedback", n_feedback)
         if len(queries) > 1:  # only true coalescing counts
@@ -285,6 +289,40 @@ class SearchEngine:
             if n_feedback:
                 global_metrics.inc("batched_feedback_searches", n_feedback)
         return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
+
+    def warm_serving_buckets(self, max_batch: int = 32) -> int:
+        """Precompile the serving program family so no XLA compile lands
+        inside a live request.
+
+        The batcher's searches hit exactly one program per (text-tower
+        bucket, index Bpad bucket) pair; both bucket ladders are
+        {8, 16, 32, ...} capped at ``max_batch``. Without this, the FIRST
+        request at each new arrival count pays a multi-second remote
+        compile — measured as 3.2 s p99 stalls in the first 32-client
+        load-test rung (benchmarks/RESULTS.md). Returns the number of
+        buckets warmed; publishes the ``serving_warmup_done`` gauge."""
+        if len(self.index) == 0:
+            global_metrics.gauge("serving_warmup_done", 1.0)
+            return 0
+        sizes, b = [], 8
+        while True:
+            sizes.append(min(b, max_batch))
+            if b >= max_batch:
+                break
+            b *= 2
+        for n in sizes:
+            # direct embedder call: bypasses the text cache entirely, so
+            # warmup leaves no cache entries behind
+            self.embedder.embed_texts_device([f"\0warm{n}_{i}" for i in range(n)])
+            self.index.search_with_feedback_batch(
+                np.zeros((n, self.cfg.projection_dim), np.float32),
+                [[] for _ in range(n)],
+                self.args.k,
+                approx=self.args.search_approx,
+            )
+        global_metrics.gauge("serving_warmup_done", 1.0)
+        log.info("serving warmup: %d batch buckets compiled", len(sizes))
+        return len(sizes)
 
     def _wire_row(self, row: int) -> dict:
         """Precomputed ``{"id", "image_path"}`` template for an index row

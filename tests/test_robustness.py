@@ -167,3 +167,38 @@ def test_search_batcher_coalesces(tmp_path):
     assert counters.get("batched_searches", 0) >= 2
     # the 6 concurrent feedback rounds must have coalesced too
     assert counters.get("batched_feedback_searches", 0) >= 2
+
+
+def test_warm_serving_buckets_precompiles_and_matches(tmp_path):
+    """Startup warmup: compiles the {8,16,32} serving buckets, sets the
+    readiness gauge, and a subsequent all-plain search_many (which now rides
+    the padded feedback program — empty selections degrade bitwise) ranks
+    identically to the direct per-query path."""
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(
+            f"{media}/{i}.jpg"
+        )
+    engine = SearchEngine(
+        ServerArgs(
+            model_weights=str(tmp_path / "none.st"),
+            model="clip-tiny-test",
+            media_dir=media,
+            index_dir=str(tmp_path / "idx"),
+            k=4,
+        )
+    )
+    # empty index: warmup is a no-op but still flips the readiness gauge
+    assert engine.warm_serving_buckets(32) == 0
+    engine.scan()
+    assert engine.warm_serving_buckets(32) == 3  # buckets 8, 16, 32
+    from image_search_tpu.utils.metrics import global_metrics
+
+    assert global_metrics.snapshot()["gauges"]["serving_warmup_done"] == 1.0
+
+    queries = [f"warm check {i}" for i in range(3)]
+    direct = [[r["image_path"] for r in engine.search(q)] for q in queries]
+    batched = engine.search_many(queries)  # all-plain: feedback program path
+    assert [[r["image_path"] for r in res] for res in batched] == direct
