@@ -16,17 +16,24 @@ Discriminator: time the scores-only pass at B in {1, 8, 32}. Flat-in-B at
 already at the HBM floor (nothing left on the table but selection overhead).
 
 Corpus is generated ON-device in 1M-row chunks (no tunnel upload), exactly
-like bench.py. One process, strictly serialized TPU use (CLAUDE.md).
+like bench.py. All big buffers are EXPLICIT jit arguments — a closed-over
+device array is captured as a lowering constant and serialized into the
+remote compile request (7.7 GB through the tunnel; measured: stalls the
+compile service for tens of minutes). One process, strictly serialized TPU
+use (CLAUDE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
@@ -38,7 +45,7 @@ def main():
     import jax.numpy as jnp
 
     from image_search_tpu.index.index import _search_local, _write_block
-    from image_search_tpu.parallel.sharded_search import quantize_rows_int8
+    from image_search_tpu.parallel.sharded_search import quantize_rows_int8, shard_scores
 
     dim = 768
     n = 10_000_000
@@ -81,9 +88,9 @@ def main():
 
     results = {}
 
-    # --- scores-only pass, raw int8 matmul (int32 accum), no rescale ---
-    @partial(jax.jit, static_argnames=())
-    def raw_i8(q8):
+    # --- raw int8 matmul (int32 accum), no rescale ---
+    @jax.jit
+    def raw_i8(buf, q8):
         s32 = jax.lax.dot_general(
             q8, buf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
@@ -91,15 +98,12 @@ def main():
 
     # --- scores incl. f32 rescale (the shard_scores epilogue) ---
     @jax.jit
-    def scores_f32(q):
-        from image_search_tpu.parallel.sharded_search import shard_scores
-
-        s = shard_scores(buf, q, scl)
-        return jnp.max(s)
+    def scores_f32(buf, scl, q):
+        return jnp.max(shard_scores(buf, q, scl))
 
     # --- bf16 upcast matmul for comparison (converts int8 rows inline) ---
     @jax.jit
-    def scores_bf16(q):
+    def scores_bf16(buf, scl, q):
         s = jax.lax.dot_general(
             q.astype(jnp.bfloat16),
             buf.astype(jnp.bfloat16),
@@ -112,20 +116,24 @@ def main():
         q = mk_q(B)
         q8, q8s = quantize_rows_int8(q)
         q8.block_until_ready()
-        results[f"raw_int8_matmul_B{B}_ms"] = round(timeit(raw_i8, q8), 2)
-        results[f"scores_rescaled_B{B}_ms"] = round(timeit(scores_f32, q), 2)
-        log(json.dumps({k_: v for k_, v in results.items()}, indent=None))
+        results[f"raw_int8_matmul_B{B}_ms"] = round(timeit(raw_i8, buf, q8), 2)
+        results[f"scores_rescaled_B{B}_ms"] = round(timeit(scores_f32, buf, scl, q), 2)
+        log(json.dumps(results))
 
     q = mk_q(1)
-    results["scores_bf16_upcast_B1_ms"] = round(timeit(scores_bf16, q), 2)
+    results["scores_bf16_upcast_B1_ms"] = round(timeit(scores_bf16, buf, scl, q), 2)
 
     # --- full fused search (the shipped path) exact vs approx, B=1 ---
-    def full(q, approx):
-        s, _ = _search_local((buf,), size, q, k, (scl,), approx)
+    def full_exact(buf, scl, q):
+        s, _ = _search_local((buf,), size, q, k, (scl,), False)
         return s
 
-    results["full_exact_B1_ms"] = round(timeit(partial(full, approx=False), q), 2)
-    results["full_approx_B1_ms"] = round(timeit(partial(full, approx=True), q), 2)
+    def full_approx(buf, scl, q):
+        s, _ = _search_local((buf,), size, q, k, (scl,), True)
+        return s
+
+    results["full_exact_B1_ms"] = round(timeit(full_exact, buf, scl, q), 2)
+    results["full_approx_B1_ms"] = round(timeit(full_approx, buf, scl, q), 2)
 
     # --- selection alone: exact_topk over a precomputed [1, 10M] score row ---
     from image_search_tpu.ops.topk import exact_topk
