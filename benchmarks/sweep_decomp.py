@@ -49,6 +49,11 @@ def main():
 
     dim = 768
     n = 10_000_000
+    # production slab geometry: slabs are granule-aligned (index.py:270,
+    # n_shards * 4096 rows), live rows masked by `size` — so the buffer is
+    # padded to a 4096 multiple exactly like a real single-shard index.
+    # 2444*4096 also divides by 16384 for the stream block sweep.
+    n_pad = 2444 * 4096
     ch = 1_000_000
     k = 1000
 
@@ -59,8 +64,8 @@ def main():
         return quantize_rows_int8(e)
 
     log("building 10M int8 corpus on device...")
-    buf = jnp.zeros((n, dim), jnp.int8)
-    scl = jnp.zeros((n,), jnp.float32)
+    buf = jnp.zeros((n_pad, dim), jnp.int8)
+    scl = jnp.zeros((n_pad,), jnp.float32)
     for i in range(n // ch):
         qi, sc = gen_int8(jax.random.key(i))
         buf = _write_block(buf, qi, jnp.asarray(i * ch, jnp.int32))
@@ -123,7 +128,32 @@ def main():
     q = mk_q(1)
     results["scores_bf16_upcast_B1_ms"] = round(timeit(scores_bf16, buf, scl, q), 2)
 
+    # --- Pallas streaming score kernel (ops/score_stream.py) ---
+    from image_search_tpu.ops.score_stream import stream_scores_int8
+
+    def stream_max(buf, scl, q8, q8s, block):
+        s = stream_scores_int8(buf, q8, q8s, scl, size, None, block=block)
+        return jnp.max(s)
+
+    for B in (1, 8, 32):
+        q = mk_q(B)
+        q8, q8s = quantize_rows_int8(q)
+        q8.block_until_ready()
+        results[f"stream_scores_B{B}_ms"] = round(
+            timeit(stream_max, buf, scl, q8, q8s, 4096), 2
+        )
+        log(json.dumps(results))
+    q = mk_q(1)
+    q8, q8s = quantize_rows_int8(q)
+    for blk in (2048, 8192, 16384):
+        results[f"stream_scores_B1_blk{blk}_ms"] = round(
+            timeit(stream_max, buf, scl, q8, q8s, blk), 2
+        )
+    log(json.dumps(results))
+
     # --- full fused search (the shipped path) exact vs approx, B=1 ---
+    # NOTE: with ISX_SCORE_STREAM=1 (default) and the aligned slab above,
+    # _search_local engages the streaming kernel — this IS the shipped path.
     def full_exact(buf, scl, q):
         s, _ = _search_local((buf,), size, q, k, (scl,), False)
         return s

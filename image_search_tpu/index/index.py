@@ -140,6 +140,24 @@ def _rocchio_query(slabs, scales, norms, text_emb, sel_idx):
     return (sel_avg + text_emb.astype(jnp.float32)) * 0.5
 
 
+def _use_stream_scores(slabs, scales) -> bool:
+    """ISX_SCORE_STREAM gates the Pallas streaming int8 score kernel
+    (ops/score_stream.py): ~1.4x the XLA int8 dot at 10M rows by reading
+    each slab byte once at close to HBM copy bandwidth. Bit-exact vs the
+    XLA path (proof in the kernel module), so enabling it never changes
+    results. TPU-only (interpret mode would slow CPU tests for nothing);
+    a dedicated parity test runs the kernel in interpret mode."""
+    import os
+
+    if os.environ.get("ISX_SCORE_STREAM", "1") != "1":
+        return False
+    if scales is None or jax.default_backend() != "tpu":
+        return False
+    from image_search_tpu.ops.score_stream import stream_ok
+
+    return all(stream_ok(s) for s in slabs)
+
+
 @partial(jax.jit, static_argnames=("k", "approx"))
 def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = False, pens=None):
     """Exact/approx cosine top-k over the slab list; global row ids are the
@@ -151,14 +169,28 @@ def _search_local(slabs, size, queries, k: int, scales=None, approx: bool = Fals
     q = _l2(queries.astype(jnp.float32))
     parts = []
     start = 0
-    for i, slab in enumerate(slabs):
-        s = shard_scores(slab, q, None if scales is None else scales[i])
-        if pens is not None:
-            s = s + pens[i][None, :]
-        n = slab.shape[0]
-        valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
-        parts.append(jnp.where(valid[None, :], s, NEG_INF))
-        start += n
+    if _use_stream_scores(slabs, scales):
+        from image_search_tpu.ops.score_stream import stream_scores_int8
+        from image_search_tpu.parallel.sharded_search import quantize_rows_int8
+
+        qi, qs = quantize_rows_int8(q)
+        for i, slab in enumerate(slabs):
+            parts.append(
+                stream_scores_int8(
+                    slab, qi, qs, scales[i], size - start,
+                    None if pens is None else pens[i],
+                )
+            )
+            start += slab.shape[0]
+    else:
+        for i, slab in enumerate(slabs):
+            s = shard_scores(slab, q, None if scales is None else scales[i])
+            if pens is not None:
+                s = s + pens[i][None, :]
+            n = slab.shape[0]
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
+            parts.append(jnp.where(valid[None, :], s, NEG_INF))
+            start += n
     scores = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if approx:
         # TPU-optimized partial reduction (recall >= 0.95 by construction);

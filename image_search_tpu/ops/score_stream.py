@@ -1,0 +1,121 @@
+"""Streaming int8 score kernel: HBM-bandwidth-bound cosine scoring.
+
+The 10M-row exact query is bandwidth-bound: the int8 slab read is
+10M x 768 B = 7.68 GB, so the score pass's floor on v5e (~819 GB/s HBM)
+is ~9.4 ms. XLA's int8 ``dot_general`` measured ~590 GB/s effective
+(13 ms of the 14.0 ms query, docs/PERF_NOTES.md). This kernel streams the
+slab through VMEM in large double-buffered blocks and fuses the scale /
+tombstone-penalty / valid-row masking epilogue, so each int8 byte is read
+exactly once at close to copy bandwidth.
+
+Bit-exactness vs the XLA int8 path (``parallel/sharded_search.py:42``):
+the int8 query and int8 rows are upcast to bf16 in VMEM and multiplied on
+the MXU with f32 accumulation. Every product of two ints in [-127, 127]
+has <= 16 mantissa bits (exact in the MXU's f32 product), and every
+partial sum is an integer <= 127*127*D < 2^24 for D <= 1024 (exact in
+f32) — so the accumulated score EQUALS the int32 accumulation bitwise,
+and the epilogue applies the same multiplies in the same order as the
+XLA path. CPU/XLA and TPU/Pallas therefore agree bitwise on int8 scores.
+
+Replaces the scoring half of the reference's out-of-process MTREE KNN
+(``server/src/search.rs:70-77``) on the serving path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# rows streamed per grid step; every slab (and every per-shard slab piece)
+# is a multiple of the 4096-row append block (index.py:66), so any
+# power-of-two divisor of 4096 up to the slab size divides cleanly.
+_DEFAULT_BLOCK = int(os.environ.get("ISX_SCORE_BLOCK", "4096"))
+
+
+def _kernel(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, out_ref):
+    i = pl.program_id(0)
+    bn = rows_ref.shape[0]
+    r = rows_ref[:].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        qi_ref[:], r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * qs_ref[:]                 # == s32.astype(f32) * qs[:, None]
+    s = s * scale_ref[:]              # == ... * scales[None, :]
+    gpos = i * bn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    out_ref[:] = jnp.where(gpos < limit_ref[0, 0], s, NEG_INF)
+
+
+def _kernel_pen(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, pen_ref, out_ref):
+    i = pl.program_id(0)
+    bn = rows_ref.shape[0]
+    r = rows_ref[:].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        qi_ref[:], r, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * qs_ref[:]
+    s = s * scale_ref[:]
+    s = s + pen_ref[:]                # == s + pens[None, :]
+    gpos = i * bn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    out_ref[:] = jnp.where(gpos < limit_ref[0, 0], s, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def stream_scores_int8(
+    rows: jax.Array,      # [N, D] int8 slab (N % block == 0, D % 128 == 0)
+    qi: jax.Array,        # [B, D] int8 quantized queries
+    qs: jax.Array,        # [B] f32 per-query scales
+    scales: jax.Array,    # [N] f32 per-row scales
+    limit,                # int32 scalar: rows at local pos >= limit -> NEG_INF
+    pens: jax.Array | None = None,  # [N] f32 additive penalties, or None
+    block: int = _DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Masked cosine scores [B, N] f32, one streaming pass over the slab."""
+    n, d = rows.shape
+    b = qi.shape[0]
+    assert n % block == 0 and d % 128 == 0, (n, d, block)
+    grid = (n // block,)
+    limit_arr = jnp.full((1, 1), limit, jnp.int32)
+    qi_bf = qi.astype(jnp.bfloat16)
+    qs_col = qs.astype(jnp.float32).reshape(b, 1)
+    scale_row = scales.astype(jnp.float32).reshape(1, n)
+    kernel = _kernel if pens is None else _kernel_pen
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # limit
+        pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [limit_arr, qi_bf, qs_col, rows, scale_row]
+    if pens is not None:
+        in_specs.append(
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(pens.astype(jnp.float32).reshape(1, n))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def stream_ok(rows: jax.Array, block: int = _DEFAULT_BLOCK) -> bool:
+    """True when the slab's shape admits the streaming kernel."""
+    n, d = rows.shape
+    return rows.dtype == jnp.int8 and n % block == 0 and d % 128 == 0
