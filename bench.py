@@ -140,8 +140,13 @@ def bench_query(k: int = 1000):
     log(f"query: f32 top-{k} over {n:,} vectors device={ms:.2f}ms")
     del emb
 
-    # int8 at 10M (7.7 GB) — the BASELINE config-#4 corpus on ONE chip
+    # int8 at 10M (7.7 GB) — the BASELINE config-#4 corpus on ONE chip.
+    # Production slab geometry: slabs are granule-aligned (multiples of the
+    # 4096-row append block, index.py), live rows masked by `size` — the
+    # alignment also admits the Pallas streaming score kernel
+    # (ops/score_stream.py), exactly as a real 10M index does.
     n = 10_000_000
+    n_pad = -(-n // 4096) * 4096
 
     @jax.jit
     def gen_int8(key):
@@ -149,8 +154,8 @@ def bench_query(k: int = 1000):
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
         return quantize_rows_int8(e)
 
-    buf = jnp.zeros((n, dim), jnp.int8)
-    scl = jnp.zeros((n,), jnp.float32)
+    buf = jnp.zeros((n_pad, dim), jnp.int8)
+    scl = jnp.zeros((n_pad,), jnp.float32)
     for i in range(n // ch):
         qi, sc = gen_int8(jax.random.key(i))
         buf = _write_block(buf, qi, jnp.asarray(i * ch, jnp.int32))

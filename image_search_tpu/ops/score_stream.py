@@ -39,28 +39,43 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 _DEFAULT_BLOCK = int(os.environ.get("ISX_SCORE_BLOCK", "4096"))
 
 
-def _kernel(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, out_ref):
-    i = pl.program_id(0)
-    bn = rows_ref.shape[0]
+def _dot(qi_ref, rows_ref, accum: str):
+    """[B, D] query block x [block, D] rows -> [B, block] f32 scores.
+
+    Both modes produce the SAME f32 value bitwise: every accumulated sum is
+    an integer < 2^24 (see module docstring), exact in f32 and in s32 alike.
+    ``s32`` feeds the MXU int8 inputs directly (no upcast VPU pass; Mosaic's
+    s8 dot measured ~1.1x bf16 rate, docs/PERF_NOTES.md round-2 int8 study —
+    just enough to cross from compute-bound to HBM-bound at B <= 128);
+    ``bf16`` upcasts in VMEM.
+    """
+    if accum == "s32":
+        s32 = jax.lax.dot_general(
+            qi_ref[:], rows_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return s32.astype(jnp.float32)
     r = rows_ref[:].astype(jnp.bfloat16)
-    s = jax.lax.dot_general(
-        qi_ref[:], r, (((1,), (1,)), ((), ())),
+    return jax.lax.dot_general(
+        qi_ref[:].astype(jnp.bfloat16), r, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _kernel(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, out_ref, *, accum):
+    i = pl.program_id(0)
+    bn = rows_ref.shape[0]
+    s = _dot(qi_ref, rows_ref, accum)
     s = s * qs_ref[:]                 # == s32.astype(f32) * qs[:, None]
     s = s * scale_ref[:]              # == ... * scales[None, :]
     gpos = i * bn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     out_ref[:] = jnp.where(gpos < limit_ref[0, 0], s, NEG_INF)
 
 
-def _kernel_pen(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, pen_ref, out_ref):
+def _kernel_pen(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, pen_ref, out_ref, *, accum):
     i = pl.program_id(0)
     bn = rows_ref.shape[0]
-    r = rows_ref[:].astype(jnp.bfloat16)
-    s = jax.lax.dot_general(
-        qi_ref[:], r, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    s = _dot(qi_ref, rows_ref, accum)
     s = s * qs_ref[:]
     s = s * scale_ref[:]
     s = s + pen_ref[:]                # == s + pens[None, :]
@@ -68,7 +83,7 @@ def _kernel_pen(limit_ref, qi_ref, qs_ref, rows_ref, scale_ref, pen_ref, out_ref
     out_ref[:] = jnp.where(gpos < limit_ref[0, 0], s, NEG_INF)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "accum"))
 def stream_scores_int8(
     rows: jax.Array,      # [N, D] int8 slab (N % block == 0, D % 128 == 0)
     qi: jax.Array,        # [B, D] int8 quantized queries
@@ -78,17 +93,21 @@ def stream_scores_int8(
     pens: jax.Array | None = None,  # [N] f32 additive penalties, or None
     block: int = _DEFAULT_BLOCK,
     interpret: bool = False,
+    accum: str = "s32",
 ):
     """Masked cosine scores [B, N] f32, one streaming pass over the slab."""
     n, d = rows.shape
     b = qi.shape[0]
     assert n % block == 0 and d % 128 == 0, (n, d, block)
+    assert accum in ("s32", "bf16"), accum
     grid = (n // block,)
     limit_arr = jnp.full((1, 1), limit, jnp.int32)
-    qi_bf = qi.astype(jnp.bfloat16)
+    qi_in = qi if accum == "s32" else qi.astype(jnp.bfloat16)
     qs_col = qs.astype(jnp.float32).reshape(b, 1)
     scale_row = scales.astype(jnp.float32).reshape(1, n)
-    kernel = _kernel if pens is None else _kernel_pen
+    kernel = functools.partial(
+        _kernel if pens is None else _kernel_pen, accum=accum
+    )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # limit
         pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -96,7 +115,7 @@ def stream_scores_int8(
         pl.BlockSpec((block, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    args = [limit_arr, qi_bf, qs_col, rows, scale_row]
+    args = [limit_arr, qi_in, qs_col, rows, scale_row]
     if pens is not None:
         in_specs.append(
             pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)

@@ -39,15 +39,17 @@ def _mk(rng, n, d, b):
     return rows, scales, jnp.asarray(q)
 
 
+@pytest.mark.parametrize("accum", ["s32", "bf16"])
 @pytest.mark.parametrize("b", [1, 8])
 @pytest.mark.parametrize("limit_frac", [1.0, 0.6, 0.0])
-def test_stream_scores_bitwise_vs_xla(rng, b, limit_frac):
+def test_stream_scores_bitwise_vs_xla(rng, b, limit_frac, accum):
     n, d, block = 1024, 256, 256
     rows, scales, q = _mk(rng, n, d, b)
     qi, qs = quantize_rows_int8(q)
     limit = int(n * limit_frac)
     got = stream_scores_int8(
-        rows, qi, qs, scales, jnp.int32(limit), None, block=block, interpret=True
+        rows, qi, qs, scales, jnp.int32(limit), None, block=block,
+        interpret=True, accum=accum,
     )
     want = _xla_oracle(rows, q, scales, limit, None)
     assert got.shape == (b, n)
