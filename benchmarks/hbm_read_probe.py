@@ -57,7 +57,16 @@ def main():
     buf.block_until_ready()
 
     def _kernel(rows_ref, out_ref):
-        out_ref[0, 0] = jnp.max(rows_ref[:].astype(jnp.int32))
+        # Mosaic rejects output blocks narrower than (8, 128); keep one
+        # running-max tile resident in VMEM across all grid steps
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[:] = jnp.full((8, 128), jnp.iinfo(jnp.int32).min, jnp.int32)
+
+        m = jnp.max(rows_ref[:].astype(jnp.int32))
+        out_ref[:] = jnp.maximum(out_ref[:], m)
 
     @functools.partial(jax.jit, static_argnames=("block",))
     def read_max(rows, block):
@@ -68,8 +77,8 @@ def main():
             in_specs=[
                 pl.BlockSpec((block, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
             ],
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid[0], 1), jnp.int32),
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),

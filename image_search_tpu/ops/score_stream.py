@@ -1,12 +1,14 @@
-"""Streaming int8 score kernel: HBM-bandwidth-bound cosine scoring.
+"""Streaming int8 score kernel: one-pass cosine scoring with fused epilogue.
 
-The 10M-row exact query is bandwidth-bound: the int8 slab read is
-10M x 768 B = 7.68 GB, so the score pass's floor on v5e (~819 GB/s HBM)
-is ~9.4 ms. XLA's int8 ``dot_general`` measured ~590 GB/s effective
-(13 ms of the 14.0 ms query, docs/PERF_NOTES.md). This kernel streams the
-slab through VMEM in large double-buffered blocks and fuses the scale /
-tombstone-penalty / valid-row masking epilogue, so each int8 byte is read
-exactly once at close to copy bandwidth.
+Streams the slab through VMEM in double-buffered blocks and fuses the
+scale / tombstone-penalty / valid-row masking epilogue, so each int8 byte
+is read exactly once. Measured at 10M rows (real v5e, benchmarks/
+stream_vs_xla_batched.json): full fused search 13.86/21.13/48.47 ms vs
+the XLA dot's 14.00/21.22/48.54 at B=1/8/32 — never slower, ~1% at B=1.
+Both engines plateau at ~630 GB/s effective (the 819 GB/s HBM roofline
+is NOT the binding constraint; see benchmarks/hbm_read_probe.py and the
+PERF_NOTES round-3 study), so this kernel is the measured floor of this
+toolchain, not a bandwidth breakthrough.
 
 Bit-exactness vs the XLA int8 path (``parallel/sharded_search.py:42``):
 the int8 query and int8 rows are upcast to bf16 in VMEM and multiplied on
