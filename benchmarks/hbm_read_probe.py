@@ -99,10 +99,18 @@ def main():
 
     results = {}
     gb = n_pad * dim / 1e9
-    for blk in (2048, 4096, 8192):
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "hbm_read_probe.json"
+    )
+    # blk 8192 trips the 16 MB scoped-VMEM limit (the i32 upcast inside the
+    # max materializes a 25 MB block); 2048/4096 suffice — both measured
+    # 12.0 ms = ~640 GB/s, the platform's streamed-read wall
+    for blk in (2048, 4096):
         ms = timeit(read_max, buf, blk)
         results[f"pure_read_blk{blk}_ms"] = round(ms, 2)
         results[f"pure_read_blk{blk}_gbps"] = round(gb / (ms / 1e3), 1)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
         log(json.dumps(results))
     print(json.dumps(results))
 

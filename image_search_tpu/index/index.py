@@ -351,6 +351,7 @@ class VectorIndex:
     def _preallocate(self, capacity: int) -> None:
         """--index-capacity: allocate all slabs upfront — ingest performs
         ZERO device allocations (OOM-at-10M / tunnel-wedge hardening)."""
+        self._check_hbm_budget(max(capacity, 1))
         remaining = max(capacity, 1)
         while remaining > 0:
             rows = min(self._slab_rows, max(remaining, self._cap_multiple))
@@ -403,6 +404,47 @@ class VectorIndex:
             total += sum(s.size * 4 for s in self._scale_slabs)
         return total
 
+    def _bytes_per_row(self) -> int:
+        per = self.dim * np.dtype(self._row_dtype).itemsize + 4 + 4  # emb+norm+pen
+        if self._scale_slabs is not None:
+            per += 4
+        return per
+
+    def _check_hbm_budget(self, projected_rows: int) -> None:
+        """Fail fast with an actionable error instead of a device OOM.
+
+        A device OOM on a remote TPU runtime can wedge the whole process
+        (CLAUDE.md tunnel discipline), so growth is bounded ahead of time:
+        projected per-device slab bytes must stay under 85% of the
+        device's reported HBM (models/activations live in the rest).
+        Override with ISX_INDEX_HBM_BUDGET_GB (<=0 disables); devices
+        that report no limit (CPU) are never blocked.
+        """
+        import os
+
+        env = os.environ.get("ISX_INDEX_HBM_BUDGET_GB")
+        if env is not None:
+            gb = float(env)
+            budget = None if gb <= 0 else int(gb * 1e9)
+        else:
+            try:
+                stats = jax.local_devices()[0].memory_stats()
+                limit = (stats or {}).get("bytes_limit")
+            except Exception:
+                limit = None
+            budget = int(limit * 0.85) if limit else None
+        if budget is None:
+            return
+        per_device = projected_rows * self._bytes_per_row() // self._n_shards
+        if per_device > budget:
+            raise RuntimeError(
+                f"index growth to {projected_rows:,} rows needs "
+                f"~{per_device / 1e9:.1f} GB/device, over the "
+                f"{budget / 1e9:.1f} GB budget (85% of device HBM). "
+                f"Use --index-quantize int8 (4x smaller rows), shard over "
+                f"more chips, or raise ISX_INDEX_HBM_BUDGET_GB."
+            )
+
     def _ensure_capacity(self, n: int) -> None:
         while self.capacity < n:
             last = self._emb_slabs[-1].shape[0]
@@ -410,6 +452,7 @@ class VectorIndex:
                 # the FIRST slab doubles up to slab_rows (small corpora pay
                 # small transients); the copy holds old+new, both <= 1 slab
                 new_rows = min(self._slab_rows, last * 2)
+                self._check_hbm_budget(self.capacity - last + new_rows + last)
                 self._emb_slabs[-1] = _grow(
                     self._device_zeros((new_rows, self.dim), self._row_dtype),
                     self._emb_slabs[-1],
@@ -428,6 +471,7 @@ class VectorIndex:
             else:
                 # beyond one full slab: allocate a fresh slab, copy NOTHING —
                 # the transient is the new slab itself, never 2x the corpus
+                self._check_hbm_budget(self.capacity + self._slab_rows)
                 self._append_slab(self._slab_rows)
                 log.info(
                     "index slab %d allocated (%d rows capacity)",

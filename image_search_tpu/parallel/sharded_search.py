@@ -28,7 +28,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from image_search_tpu.parallel.mesh import DATA_AXIS
 
-NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
+# plain float, NOT jnp.float32(...): a module-level device scalar would
+# initialize the JAX backend (and grab the TPU) at import time
+NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def quantize_rows_int8(x: jax.Array):

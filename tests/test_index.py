@@ -949,3 +949,24 @@ def test_find_near_duplicates_progress_callback(rng):
     )
     assert {(i, j) for i, j, _ in pairs} == {(10, 200)}
     assert calls == [(128, 300), (256, 300), (300, 300)]
+
+
+def test_hbm_budget_guard_fails_fast(rng, monkeypatch):
+    """Growth past the device budget must raise an actionable error BEFORE
+    allocating (a device OOM on a remote TPU runtime can wedge the whole
+    process). Budget override via ISX_INDEX_HBM_BUDGET_GB."""
+    paths, emb = make_data(rng, 64)
+    # ~0.003 GB budget: the initial 8192-row f32 slab (~25 MB) fits only
+    # until growth is requested
+    monkeypatch.setenv("ISX_INDEX_HBM_BUDGET_GB", "0.003")
+    idx = VectorIndex(DIM)
+    with pytest.raises(RuntimeError, match="index-quantize int8"):
+        idx._ensure_capacity(1_000_000)
+    # preallocation is guarded too
+    with pytest.raises(RuntimeError, match="HBM_BUDGET"):
+        VectorIndex(DIM, capacity=1_000_000)
+    # <=0 disables the guard entirely
+    monkeypatch.setenv("ISX_INDEX_HBM_BUDGET_GB", "0")
+    idx2 = VectorIndex(DIM)
+    idx2.add(paths, emb)
+    assert len(idx2) == 64

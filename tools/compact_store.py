@@ -30,6 +30,13 @@ def main(argv=None) -> None:
     )
     args = ap.parse_args(argv)
 
+    # Host-side IO tool: must never touch the TPU. JAX_PLATFORMS=cpu in the
+    # environment is NOT enough here — the sandbox preimports jax before the
+    # env var is read (CLAUDE.md), so force the platform via config.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from image_search_tpu.index.store import EmbeddingStore
 
     dim = args.dim

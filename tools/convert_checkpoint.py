@@ -30,6 +30,13 @@ def main() -> None:
                     help="also export vocab.json/merges.txt here")
     args = ap.parse_args()
 
+    # Conversion is host-side (numpy/torch): never touch the TPU. The
+    # sandbox preimports jax so JAX_PLATFORMS=cpu in the env is ignored
+    # (CLAUDE.md) — force the platform via config before any jax op.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from image_search_tpu.models.convert import convert_hf_model
 
     print(f"loading {args.model} ...")
