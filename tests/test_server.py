@@ -663,3 +663,44 @@ def test_deploy_smoke_script(tmp_path):
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "PASS: deployment surface verified" in out.stdout
+
+
+def test_offline_scan_dir_tool(tmp_path):
+    """tools/scan_dir.py: batch-ingest a directory offline, then a fresh
+    server engine on the same --index-dir serves the rows without
+    rescanning (cron-job ingest contract; the reference's only batch
+    entry point is the in-server clip.rs:42)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=5)
+    idx_dir = str(tmp_path / "idx")
+    out = subprocess.run(
+        [
+            _sys.executable, "tools/scan_dir.py",
+            "-m", media, "--index-dir", idx_dir,
+            "--model", "clip-tiny-test",
+            "-w", str(tmp_path / "missing.safetensors"),
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "ISX_FORCE_CPU": "1"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["embedded"] == 5 and stats["found"] == 5
+
+    eng = SearchEngine(ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=idx_dir,
+    ))
+    assert len(eng.index) == 5
+    res = eng.search("anything", [])
+    assert len(res) == 5
+    # idempotent: a follow-up in-server scan dedups every row by path
+    stats2 = eng.scan()
+    assert stats2.embedded == 0 and stats2.skipped_existing == 5
