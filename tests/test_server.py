@@ -704,3 +704,45 @@ def test_offline_scan_dir_tool(tmp_path):
     # idempotent: a follow-up in-server scan dedups every row by path
     stats2 = eng.scan()
     assert stats2.embedded == 0 and stats2.skipped_existing == 5
+
+
+def test_offline_search_tool(tmp_path):
+    """tools/search.py: query an index from the command line (scripting
+    counterpart of POST /search), including Rocchio --feedback marks."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=4)
+    idx_dir = str(tmp_path / "idx")
+    env = {**os.environ, "ISX_FORCE_CPU": "1"}
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+    common = [
+        "-m", media, "--index-dir", idx_dir,
+        "--model", "clip-tiny-test", "-w", str(tmp_path / "missing.safetensors"),
+    ]
+    subprocess.run(
+        [_sys.executable, "tools/scan_dir.py", *common],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env, check=True,
+    )
+    out = subprocess.run(
+        [_sys.executable, "tools/search.py", "anything", *common,
+         "--k", "2", "--feedback", "media/photo_1.jpg"],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    hits = [_json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(hits) == 2 and hits[0]["rank"] == 1
+    # feedback pulls the marked image to the top (its own vector dominates)
+    assert hits[0]["image_path"] == "media/photo_1.jpg"
+    assert set(hits[0]) == {"rank", "id", "image_path", "score"}
+
+    # empty index -> helpful error, nonzero exit
+    out2 = subprocess.run(
+        [_sys.executable, "tools/search.py", "x", "-m", media,
+         "--index-dir", str(tmp_path / "empty"),
+         "--model", "clip-tiny-test", "-w", str(tmp_path / "missing.safetensors")],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out2.returncode == 1 and "index is empty" in out2.stderr
