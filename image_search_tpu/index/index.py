@@ -301,6 +301,11 @@ class VectorIndex:
         # passed to the search kernels only once a removal happened)
         self._pen_slabs: List[jax.Array] = []
         self._removed = 0
+        # two-stage certified-exact search state (index/twostage.py);
+        # None until build_sketch(); invalidated by any append
+        self._sketch = None
+        self.twostage_certified = 0
+        self.twostage_fallbacks = 0
         if capacity is not None:
             self._preallocate(capacity)
         else:
@@ -584,6 +589,10 @@ class VectorIndex:
             added = self._add_in_memory(paths, embeddings)
             if added and self.store is not None:
                 self.store.append(list(paths), np.asarray(embeddings, np.float32))
+            if added:
+                # new rows are not sketched: a stale sketch could UNDER-
+                # bound them and silently drop true top-k hits — invalidate
+                self._sketch = None
             return added
 
     def _remove_in_memory(self, paths: Sequence[str]):
@@ -642,6 +651,84 @@ class VectorIndex:
             if removed and self.store is not None:
                 self.store.tombstone(removed, exclude=exclude)
             return n, removed
+
+    # -- two-stage certified-exact search (index/twostage.py) ------------------
+
+    def build_sketch(self, d_s: int = 64, sample_rows: int = 8192) -> None:
+        """Build the sketch for certified two-stage exact search.
+
+        One streaming pass over the corpus (a ~10 ms-class matmul per slab)
+        plus a host SVD of a strided row sample. Appends invalidate it;
+        call again after ingest (the engine does this when
+        ``--search-twostage`` is on). No-op on an empty index."""
+        from image_search_tpu.index import twostage
+
+        with self._lock:
+            if self._size == 0:
+                return
+            slabs, _, scales, _ = self._snapshot()
+            size = self._size
+        m = min(sample_rows, size)
+        idx = jnp.asarray(
+            np.linspace(0, size - 1, m).astype(np.int32)
+        )
+        sample = np.asarray(
+            _gather_rows(slabs, scales, idx), np.float32
+        )
+        basis = jnp.asarray(twostage.fit_basis(sample, d_s))
+        sketches, resid = [], []
+        for i, slab in enumerate(slabs):
+            s, t = twostage.sketch_slab(
+                slab, None if scales is None else scales[i], basis
+            )
+            sketches.append(s)
+            resid.append(t)
+        with self._lock:
+            if self._size != size:
+                return  # concurrent append won the race; sketch is stale
+            self._sketch = twostage.SketchState(
+                basis, tuple(sketches), tuple(resid), size
+            )
+
+    @property
+    def sketch_fresh(self) -> bool:
+        return self._sketch is not None and self._sketch.built_rows == self._size
+
+    def search_twostage(
+        self, queries: np.ndarray, k: int = 1000, candidates: int = 4096
+    ):
+        """Certified exact top-k: sketch-bound pass + exact rescore; falls
+        back to the full scan whenever the certificate fails or the sketch
+        is stale/absent — results are ALWAYS exact (twostage.py module doc).
+
+        Local (non-sharded) indexes only; the sharded path shards the same
+        construction per-device but is not implemented (the per-chip slab
+        already shrinks linearly with the mesh)."""
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        with self._lock:
+            sk = self._sketch
+            fresh = sk is not None and sk.built_rows == self._size
+            if self._size == 0 or self.mesh is not None or not fresh:
+                sk = None
+            else:
+                k = self._clamp_k(k)
+                slabs, _, scales, pens = self._snapshot()
+                size = jnp.asarray(self._size, jnp.int32)
+                n_pad = sum(s.shape[0] for s in slabs)
+                c = min(max(candidates, k), n_pad - 1)
+        if sk is None:
+            self.twostage_fallbacks += 1
+            return self.search(queries, k)
+        from image_search_tpu.index.twostage import twostage_topk
+
+        s, i, cert = twostage_topk(
+            slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c, scales, pens
+        )
+        if bool(jnp.all(cert)):
+            self.twostage_certified += 1
+            return np.asarray(s), np.asarray(i)
+        self.twostage_fallbacks += 1
+        return self.search(queries, k)
 
     # -- queries ---------------------------------------------------------------
 

@@ -36,6 +36,7 @@ class ServerArgs:
     thumb_cache: str = ""
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
+    search_twostage: bool = False  # certified exact sketch+rescore (twostage.py)
     prune_on_scan: bool = False  # tombstone indexed images whose files vanished
     batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
     static_dir: Optional[str] = None
@@ -92,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--search-approx", action="store_true", default=d.search_approx,
                    help="approx top-k (recall 0.95, ~2.3x faster at 10M+ rows; "
                         "still better fidelity than the reference's MTREE)")
+    p.add_argument("--search-twostage", action="store_true",
+                   default=d.search_twostage,
+                   help="two-stage EXACT search: sketch-bound pass + certified "
+                        "rescore, full-scan fallback when the certificate "
+                        "fails — beats the HBM-read floor on spectrally "
+                        "concentrated (realistic) corpora")
     p.add_argument("--prune-on-scan", action="store_true", default=d.prune_on_scan,
                    help="each scan also tombstones indexed images whose files "
                         "no longer exist (the reference keeps them forever)")

@@ -93,6 +93,8 @@ class SearchEngine:
             quantize=args.index_quantize,
             capacity=args.index_capacity,
         )
+        if getattr(args, "search_twostage", False) and len(self.index):
+            self.index.build_sketch()  # restored rows: certified path from query 1
         log.info(
             "engine ready: model=%s dim=%d corpus=%d devices=%d",
             cfg.name,
@@ -222,6 +224,16 @@ class SearchEngine:
             if selected:
                 scores, idx = self.index.search_with_feedback(
                     text_emb, selected, k, approx=approx
+                )
+            elif getattr(self.args, "search_twostage", False) and not approx:
+                # certified exact: sketch-bound pass + rescore, full-scan
+                # fallback when the certificate fails (index/twostage.py)
+                scores, idx = self.index.search_twostage(text_emb, k)
+                global_metrics.gauge(
+                    "twostage_certified_total", float(self.index.twostage_certified)
+                )
+                global_metrics.gauge(
+                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
                 )
             else:
                 scores, idx = self.index.search(text_emb, k, approx=approx)
@@ -574,6 +586,11 @@ class SearchEngine:
                 )
         if getattr(self.args, "prune_on_scan", False):
             stats.pruned = self.prune_missing()
+        if getattr(self.args, "search_twostage", False) and stats.embedded:
+            # appends invalidated the sketch; rebuild so queries stay on
+            # the certified fast path (one streaming pass per slab)
+            with global_metrics.timer("sketch_build"):
+                self.index.build_sketch()
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)
         global_metrics.inc("decode_failures", stats.decode_failures)

@@ -1,0 +1,159 @@
+"""Two-stage certified-exact search (index/twostage.py): the answer must
+EQUAL the full scan's on every code path — certification only decides how
+many bytes were read, never what is returned."""
+
+import numpy as np
+import pytest
+
+from image_search_tpu.index.index import VectorIndex
+
+DIM = 256
+RANK = 32  # intrinsic dimensionality of the "realistic" corpus
+
+
+def concentrated(rng, n, noise=0.02):
+    """Low-rank + noise rows: the spectral shape real embeddings have."""
+    m = rng.normal(size=(RANK, DIM))
+    x = rng.normal(size=(n, RANK)) @ m + noise * rng.normal(size=(n, DIM))
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def flat(rng, n):
+    x = rng.normal(size=(n, DIM))
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def assert_same_answer(got, want):
+    gs, gi = got
+    ws, wi = want
+    np.testing.assert_array_equal(gi, wi)
+    np.testing.assert_allclose(gs, ws, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_certified_exact_on_concentrated_corpus(rng, quantize):
+    n, k, c = 20_000, 100, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, quantize=quantize)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    assert idx.sketch_fresh
+    q = concentrated(rng, 3)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    if quantize == "int8":
+        # integer arithmetic on both routes: scores are BITWISE equal
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    else:
+        assert_same_answer(got, want)
+
+
+def test_fallback_on_flat_corpus_still_exact(rng):
+    """Spectrally flat data defeats the bound (documented worst case): the
+    certificate must FAIL and the fallback must return the full-scan
+    answer."""
+    n, k = 20_000, 100
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    q = flat(rng, 2)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=k + 16)
+    assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
+    assert_same_answer(got, want)
+
+
+def test_append_invalidates_sketch(rng):
+    n, k = 4_000, 10
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    assert idx.sketch_fresh
+    # append a row that must WIN: equal to the query itself
+    q = concentrated(rng, 1)
+    idx.add(["new"], q.copy())
+    assert not idx.sketch_fresh  # stale sketch could under-bound the row
+    got = idx.search_twostage(q, k)
+    assert idx.twostage_fallbacks == 1  # stale -> full scan
+    assert got[1][0, 0] == n  # the new row is rank 1
+    # rebuilding restores the certified path
+    idx.build_sketch()
+    got2 = idx.search_twostage(q, k, candidates=256)
+    assert idx.twostage_certified == 1
+    assert got2[1][0, 0] == n
+
+
+def test_tombstones_never_surface(rng):
+    n, k = 8_000, 20
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, quantize="int8")
+    idx.add([f"p{i}" for i in range(n)], emb)
+    # query equals row 7 exactly -> it would be rank 1; remove it
+    q = emb[7:8].copy()
+    idx.remove_paths(["p7"])
+    idx.build_sketch()
+    got_s, got_i = idx.search_twostage(q, k, candidates=256)
+    assert idx.twostage_certified == 1
+    assert 7 not in got_i[0]
+    want_s, want_i = idx.search(q, k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_empty_and_sketchless_fall_back(rng):
+    idx = VectorIndex(DIM)
+    s, i = idx.search_twostage(np.zeros((1, DIM), np.float32), 5)
+    assert s.shape == (1, 0)  # empty index contract matches search()
+    emb = flat(rng, 100)
+    idx.add([f"p{i}" for i in range(100)], emb)
+    # no sketch built -> plain full scan, same answer
+    q = flat(rng, 1)
+    got = idx.search_twostage(q, 5)
+    want = idx.search(q, 5)
+    assert_same_answer(got, want)
+    assert idx.twostage_fallbacks >= 1
+
+
+def test_engine_flag_wires_twostage(tmp_path, rng):
+    """--search-twostage: scan builds the sketch, plain searches ride the
+    certified path, feedback searches keep the fused full path."""
+    import os
+
+    from PIL import Image
+
+    from image_search_tpu.server.args import ServerArgs
+    from image_search_tpu.server.engine import SearchEngine
+
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    for i in range(5):
+        arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(media, f"i{i}.jpg"))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.st"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        search_twostage=True,
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    assert eng.index.sketch_fresh  # rebuilt at scan end
+    res = eng.search("anything", [])
+    assert len(res) == 5
+    assert eng.index.twostage_certified + eng.index.twostage_fallbacks == 1
+    # feedback path unaffected
+    res2 = eng.search("anything", [res[0]["image_path"]])
+    assert res2[0]["image_path"] == res[0]["image_path"]
+    # a fresh engine on the same store builds the sketch at startup
+    eng2 = SearchEngine(args)
+    assert eng2.index.sketch_fresh
