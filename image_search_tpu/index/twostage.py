@@ -100,18 +100,41 @@ def _dequant_rows(slab: jax.Array, scale: Optional[jax.Array]) -> jax.Array:
 
 
 @jax.jit
-def sketch_slab(
-    slab: jax.Array,                 # [n, D] f32/bf16/int8 rows
-    scale: Optional[jax.Array],      # [n] f32 for int8, else None
-    basis: jax.Array,                # [D, d_s] f32
-):
-    """One slab -> (sketch [n, d_s] f32, inflated residual norms [n] f32)."""
+def _sketch_chunk(slab, scale, basis):
     r = _dequant_rows(slab, scale)
     s = r @ basis
     nrm2 = jnp.sum(r * r, axis=1)
     ss = jnp.sum(s * s, axis=1)
     t = jnp.sqrt(jnp.maximum(nrm2 - ss, 0.0) + SLACK_T)
     return s, t
+
+
+# per-chunk dequantized-f32 temp cap: 262144 x 768 f32 = 805 MB. Sketching
+# a whole slab in one program would materialize n x D f32 (a 1M-row slab =
+# 3 GB, a single 10M-row benchmark slab = 30 GB -> HBM OOM), so the build
+# streams fixed-shape chunks instead: at most two program shapes (body +
+# tail), each freed before the next dispatch.
+SKETCH_CHUNK_ROWS = 262_144
+
+
+def sketch_slab(
+    slab: jax.Array,                 # [n, D] f32/bf16/int8 rows
+    scale: Optional[jax.Array],      # [n] f32 for int8, else None
+    basis: jax.Array,                # [D, d_s] f32
+):
+    """One slab -> (sketch [n, d_s] f32, inflated residual norms [n] f32)."""
+    n = slab.shape[0]
+    g = SKETCH_CHUNK_ROWS
+    if n <= g:
+        return _sketch_chunk(slab, scale, basis)
+    parts_s, parts_t = [], []
+    for off in range(0, n, g):  # static slice bounds: one compile per shape
+        end = min(off + g, n)
+        sc = None if scale is None else scale[off:end]
+        s, t = _sketch_chunk(slab[off:end], sc, basis)
+        parts_s.append(s)
+        parts_t.append(t)
+    return jnp.concatenate(parts_s, axis=0), jnp.concatenate(parts_t, axis=0)
 
 
 def _exact_query_vector(q: jax.Array, is_int8: bool) -> jax.Array:
