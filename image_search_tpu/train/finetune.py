@@ -98,7 +98,7 @@ def run_finetune(
     import optax
 
     from image_search_tpu.ingest.decode import DecodePool
-    from image_search_tpu.ops.preprocess import preprocess_images
+    from image_search_tpu.ops.preprocess import fused_preprocess, pack_batch
     from image_search_tpu.train.contrastive import make_train_step
 
     if compute_dtype is None:
@@ -122,8 +122,12 @@ def run_finetune(
     pool = DecodePool(workers=8, thumb_cache=thumb_cache)
 
     def make_batch():
-        """Decode + preprocess + tokenize one batch (host work only).
-        Runs on the prefetch thread, overlapped with the device step."""
+        """Decode + pack + tokenize one batch — HOST work only, no device
+        dispatch. Runs on the prefetch thread, overlapped with the device
+        step; the (cheap, fused) device preprocess runs on the main thread
+        so exactly one thread ever talks to the device — concurrent
+        dispatch from the prefetch thread intermittently aborted XLA:CPU
+        in tests, and on TPU it serialized behind the step anyway."""
         # keep the batch EXACTLY batch_size: a short batch breaks
         # mesh in_shardings divisibility and forces jit retraces
         images, captions = [], []
@@ -138,14 +142,11 @@ def run_finetune(
             captions.extend(cap_by_path[p] for p in kept)
         if len(images) < batch_size:
             return None
-        pixels = np.asarray(
-            preprocess_images(
-                images, size=cfg.vision.image_size, mode=preprocess_mode
-            ),
-            np.float32,
+        u8, a_h, a_w = pack_batch(
+            images, size=cfg.vision.image_size, mode=preprocess_mode
         )
         ids = tokenizer(captions, cfg.text.context_length)
-        return ids, pixels
+        return ids, u8, a_h, a_w
 
     losses: List[float] = []
     prefetcher = BatchPrefetcher(make_batch)
@@ -155,7 +156,13 @@ def run_finetune(
             if batch is None:
                 log.warning("step %d skipped: could not fill batch", step)
                 continue
-            ids, pixels = batch
+            ids, u8, a_h, a_w = batch
+            # device preprocess on the main thread; the array stays on
+            # device — the step consumes it without a host round-trip
+            pixels = fused_preprocess(
+                jnp.asarray(u8), jnp.asarray(a_h), jnp.asarray(a_w),
+                mode=preprocess_mode, out_dtype=jnp.float32,
+            )
             state, metrics = step_fn(state, ids, pixels)
             loss = float(metrics["loss"])
             losses.append(loss)

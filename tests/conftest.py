@@ -13,7 +13,16 @@ first use, so doing it at conftest import time is safe).
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU's concurrency-optimized scheduler lets independent collectives
+    # in one module race across the 8 virtual-device threads; under host
+    # load the all-reduce rendezvous misses its 40 s deadline and ABORTS
+    # the process (reproduced deterministically in the FSDP train step).
+    # A sequential-order schedule marches every device thread through
+    # collectives in lockstep. CPU-test-only; real-TPU collectives are
+    # compiler-scheduled over ICI and never see this flag.
+    + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 )
 
 import jax  # noqa: E402
