@@ -232,6 +232,20 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 
 
 @lru_cache(maxsize=64)
+def _sharded_twostage_fn(mesh: Mesh, k: int, c: int):
+    @jax.jit
+    def fn(slabs, sketches, resid, basis, size, queries, scales=None, pens=None):
+        from image_search_tpu.index.twostage import sharded_twostage_topk
+
+        return sharded_twostage_topk(
+            slabs, sketches, resid, basis, size, queries, k, mesh, c,
+            scales, pens,
+        )
+
+    return fn
+
+
+@lru_cache(maxsize=64)
 def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
     def fn(slabs, norms, size, text_emb, sel_idx, scales=None, pens=None):
@@ -678,9 +692,13 @@ class VectorIndex:
         basis = jnp.asarray(twostage.fit_basis(sample, d_s))
         sketches, resid = [], []
         for i, slab in enumerate(slabs):
-            s, t = twostage.sketch_slab(
-                slab, None if scales is None else scales[i], basis
-            )
+            sc = None if scales is None else scales[i]
+            if self.mesh is not None:
+                # per-device build keeps sketch rows aligned with the
+                # slab's P(data, None) layout for sharded_twostage_topk
+                s, t = twostage.sketch_slab_sharded(slab, sc, basis, self.mesh)
+            else:
+                s, t = twostage.sketch_slab(slab, sc, basis)
             sketches.append(s)
             resid.append(t)
         with self._lock:
@@ -701,14 +719,16 @@ class VectorIndex:
         back to the full scan whenever the certificate fails or the sketch
         is stale/absent — results are ALWAYS exact (twostage.py module doc).
 
-        Local (non-sharded) indexes only; the sharded path shards the same
-        construction per-device but is not implemented (the per-chip slab
-        already shrinks linearly with the mesh)."""
+        Mesh-sharded indexes ride ``sharded_twostage_topk``: the same
+        construction per shard (local UB pass + local rescore, zero row
+        movement) with one devices*local_k all_gather merge — both the
+        7.7 GB/chip read bound AND the per-query bytes shrink linearly
+        with the mesh."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         with self._lock:
             sk = self._sketch
             fresh = sk is not None and sk.built_rows == self._size
-            if self._size == 0 or self.mesh is not None or not fresh:
+            if self._size == 0 or not fresh:
                 sk = None
             else:
                 k = self._clamp_k(k)
@@ -719,11 +739,17 @@ class VectorIndex:
         if sk is None:
             self.twostage_fallbacks += 1
             return self.search(queries, k)
-        from image_search_tpu.index.twostage import twostage_topk
+        if self.mesh is not None:
+            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, scales, pens
+            )
+        else:
+            from image_search_tpu.index.twostage import twostage_topk
 
-        s, i, cert = twostage_topk(
-            slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c, scales, pens
-        )
+            s, i, cert = twostage_topk(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
+                scales, pens,
+            )
         if bool(jnp.all(cert)):
             self.twostage_certified += 1
             return np.asarray(s), np.asarray(i)

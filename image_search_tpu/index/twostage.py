@@ -202,6 +202,171 @@ def _gather_pens(pens, idx):
     return out
 
 
+def sketch_slab_sharded(slab, scale, basis, mesh):
+    """Sketch one mesh-sharded slab: per-device ``_sketch_chunk`` over the
+    LOCAL rows, so sketch/residual shardings align row-for-row with the
+    slab's ``P(data, None)`` layout and the f32 dequantized temp is bounded
+    at local_n x D per device (no cross-device traffic at all)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from image_search_tpu.parallel.mesh import DATA_AXIS
+
+    in_specs = [P(DATA_AXIS, None), P(None, None)]
+    args = [slab, basis]
+    if scale is not None:
+        in_specs.append(P(DATA_AXIS))
+        args.append(scale)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False,
+    )
+    def _build(slab_l, basis_r, *rest):
+        return _sketch_chunk(slab_l, rest[0] if rest else None, basis_r)
+
+    return _build(*args)
+
+
+def sharded_twostage_topk(
+    slabs,                  # tuple of [n_b, D] slabs, each P(data, None)
+    sketches,               # tuple of [n_b, d_s] f32, each P(data, None)
+    resid,                  # tuple of [n_b] f32, each P(data)
+    basis,                  # [D, d_s] f32, replicated
+    size,                   # int32 scalar: #valid rows
+    queries: jax.Array,     # [B, D] raw queries, replicated
+    k: int,
+    mesh,
+    c: int = DEFAULT_CANDIDATES,
+    scales=None,            # tuple of [n_b] f32 for int8 slabs, each P(data)
+    pens=None,              # tuple of [n_b] f32 additive penalties, or None
+):
+    """Certified exact top-k over a row-sharded corpus (SPMD two-stage).
+
+    Per shard: UB pass over the LOCAL sketch rows -> exact top-(c_l+1) by
+    UB -> exact rescore of the c_l local candidates (candidate rows live on
+    the selecting device, so rescore moves ZERO rows across ICI) -> local
+    top-k. One ``all_gather`` of [devices, B, local_k] (score, gid) pairs
+    plus a ``pmax`` of the per-shard residual UB maxima; merge and
+    certificate evaluate replicated.
+
+    Certificate: every non-candidate row on shard s has UB <= rest_max_s
+    <= max_s rest_max_s, so if that max is <= tau (the merged k-th exact
+    score) no non-candidate anywhere can displace the merged answer — the
+    result equals ``sharded_topk``'s full scan. Per-query False rows must
+    be re-answered by the full sharded scan (VectorIndex.search_twostage)."""
+    from image_search_tpu.index.index import _l2
+    from image_search_tpu.ops.topk import exact_topk
+    from image_search_tpu.parallel.mesh import DATA_AXIS
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[DATA_AXIS]
+    slabs = tuple(slabs)
+    slab_rows = [s.shape[0] for s in slabs]
+    for n in slab_rows:
+        assert n % n_shards == 0, (n, n_shards)
+    local_n = sum(slab_rows) // n_shards
+    # per-shard candidate budget: c spread across shards but floored at k,
+    # so a shard holding the entire true top-k still forwards all of it
+    local_c = int(min(max(-(-c // n_shards), k), local_n - 1))
+    local_k = min(k, local_c)
+    slab_starts = np.concatenate([[0], np.cumsum(slab_rows)])[:-1]
+    is_int8 = slabs[0].dtype == jnp.int8
+
+    in_specs = [
+        tuple(P(DATA_AXIS, None) for _ in slabs),
+        tuple(P(DATA_AXIS, None) for _ in sketches),
+        tuple(P(DATA_AXIS) for _ in resid),
+        P(None, None),
+        P(),
+        P(None, None),
+    ]
+    args = [slabs, tuple(sketches), tuple(resid), basis, size, queries]
+    has_scales = scales is not None
+    if has_scales:
+        in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
+        args.append(tuple(scales))
+    has_pens = pens is not None
+    if has_pens:
+        in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
+        args.append(tuple(pens))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(None, None), P(None, None), P(None)),
+        check_rep=False,
+    )
+    def _search(slabs_l, sk_l, rs_l, basis_r, size_l, queries_r, *rest):
+        scales_l = rest[0] if has_scales else None
+        pens_l = rest[int(has_scales)] if has_pens else None
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+
+        q = _l2(queries_r.astype(jnp.float32))
+        qt_vec, qi, qs = _exact_query_vector(q, is_int8)
+        q_s = qt_vec @ basis_r
+        q_res = jnp.sqrt(
+            jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - jnp.sum(q_s * q_s, 1), 0.0)
+            + SLACK_T
+        )
+
+        # stage 1: upper bounds over local sketch rows only
+        ub_parts, gid_parts = [], []
+        for b, sk in enumerate(sk_l):
+            nb_local = sk.shape[0]
+            ub = q_s @ sk.T + q_res[:, None] * rs_l[b][None, :] + SLACK
+            if pens_l is not None:
+                ub = ub + pens_l[b][None, :]
+            ub_parts.append(ub)
+            gid_parts.append(
+                int(slab_starts[b])
+                + shard_id * nb_local
+                + jax.lax.broadcasted_iota(jnp.int32, (nb_local,), 0)
+            )
+        ub_all = ub_parts[0] if len(ub_parts) == 1 else jnp.concatenate(ub_parts, 1)
+        gids = gid_parts[0] if len(gid_parts) == 1 else jnp.concatenate(gid_parts)
+        ub_all = jnp.where((gids < size_l)[None, :], ub_all, NEG_INF)
+
+        ub_vals, ub_idx = exact_topk(ub_all, local_c + 1)
+        cand = ub_idx[:, :local_c]            # local concat-space offsets
+        rest_max_l = ub_vals[:, local_c]      # max UB outside local candidates
+
+        # stage 2: exact rescore of local candidates (full-scan arithmetic)
+        if is_int8:
+            ex = _rescore_int8(slabs_l, scales_l, cand, qi, qs)
+        else:
+            ex = _rescore_float(slabs_l, cand, q)
+        if pens_l is not None:
+            ex = ex + _gather_pens(pens_l, cand)
+        gid_cand = gids[cand]
+        ex = jnp.where(gid_cand < size_l, ex, NEG_INF)
+
+        v_l, pos = jax.lax.top_k(ex, local_k)
+        g_l = jnp.take_along_axis(gid_cand, pos, axis=1)
+
+        # ONE collective round: devices*local_k candidate pairs + the
+        # certificate scalar, instead of N scores
+        all_v = jax.lax.all_gather(v_l, DATA_AXIS, axis=0)
+        all_g = jax.lax.all_gather(g_l, DATA_AXIS, axis=0)
+        rest_max = jax.lax.pmax(rest_max_l, DATA_AXIS)
+        B = queries_r.shape[0]
+        all_v = jnp.moveaxis(all_v, 0, 1).reshape(B, n_shards * local_k)
+        all_g = jnp.moveaxis(all_g, 0, 1).reshape(B, n_shards * local_k)
+        kk = min(k, n_shards * local_k)
+        m_v, m_pos = jax.lax.top_k(all_v, kk)
+        m_g = jnp.take_along_axis(all_g, m_pos, axis=1)
+        tau = m_v[:, kk - 1]
+        certified = rest_max <= tau
+        return m_v, m_g, certified
+
+    return _search(*args)
+
+
 @partial(jax.jit, static_argnames=("k", "c"))
 def twostage_topk(
     slabs,                  # tuple of [n_b, D] row slabs (f32/bf16/int8)

@@ -123,6 +123,55 @@ def test_empty_and_sketchless_fall_back(rng):
     assert idx.twostage_fallbacks >= 1
 
 
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_sharded_twostage_matches_sharded_full_scan(rng, quantize):
+    """Mesh-sharded two-stage (per-shard UB pass + local rescore +
+    all_gather merge) must equal the full sharded scan; on the
+    concentrated corpus the certificate holds so no fallback runs."""
+    from image_search_tpu.parallel import make_mesh
+
+    n, k, c = 16_384, 50, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1), quantize=quantize)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    assert idx.sketch_fresh
+    q = concentrated(rng, 3)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    if quantize == "int8":
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    else:
+        assert_same_answer(got, want)
+    # tombstoned rows must not surface through the sharded UB pass either
+    top = int(want[1][0, 0])
+    idx.remove_paths([f"p{top}"])
+    idx.build_sketch()
+    got_s, got_i = idx.search_twostage(q, k, candidates=c)
+    assert top not in got_i[0]
+    want_s, want_i = idx.search(q, k)
+    np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_sharded_twostage_flat_corpus_falls_back(rng):
+    """Flat spectrum defeats the bound on the sharded path too: the
+    certificate fails, the full sharded scan answers, result exact."""
+    from image_search_tpu.parallel import make_mesh
+
+    n, k = 16_384, 50
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1))
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    q = flat(rng, 2)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=k + 16)
+    assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
+    assert_same_answer(got, want)
+
+
 def test_engine_flag_wires_twostage(tmp_path, rng):
     """--search-twostage: scan builds the sketch, plain searches ride the
     certified path, feedback searches keep the fused full path."""
