@@ -47,6 +47,7 @@ top-k + allgather merge over ICI).
 from __future__ import annotations
 
 import logging
+import os
 import threading
 from functools import lru_cache, partial
 from typing import List, Optional, Sequence, Tuple
@@ -140,6 +141,11 @@ def _rocchio_query(slabs, scales, norms, text_emb, sel_idx):
     return (sel_avg + text_emb.astype(jnp.float32)) * 0.5
 
 
+# process-level kill switch for the streaming score kernel (see
+# _use_stream_scores for why it is not re-read per call)
+_STREAM_GATE = os.environ.get("ISX_SCORE_STREAM", "1") == "1"
+
+
 def _use_stream_scores(slabs, scales) -> bool:
     """ISX_SCORE_STREAM gates the Pallas streaming int8 score kernel
     (ops/score_stream.py). Measured at 10M rows (real v5e, full fused
@@ -147,10 +153,13 @@ def _use_stream_scores(slabs, scales) -> bool:
     vs 14.00/21.22/48.54 — never slower, ~1% at B=1. Bit-exact vs the
     XLA path (proof in the kernel module), so enabling it never changes
     results. TPU-only (interpret mode would slow CPU tests for nothing);
-    a dedicated parity test runs the kernel in interpret mode."""
-    import os
+    a dedicated parity test runs the kernel in interpret mode.
 
-    if os.environ.get("ISX_SCORE_STREAM", "1") != "1":
+    The gate is resolved ONCE per process (_STREAM_GATE): `_search_local`
+    is jitted, so reading the env var per trace would make a mid-process
+    flip apply only to not-yet-compiled shapes — a kill switch that
+    half-works is worse than one that must be set before start."""
+    if not _STREAM_GATE:
         return False
     if scales is None or jax.default_backend() != "tpu":
         return False
@@ -315,6 +324,11 @@ class VectorIndex:
         # passed to the search kernels only once a removal happened)
         self._pen_slabs: List[jax.Array] = []
         self._removed = 0
+        # paths whose rows were tombstoned IN THIS PROCESS (bounded by
+        # removals, not corpus size): lets the engine distinguish "pruned
+        # earlier, honor an explicit /remove even while the file is absent"
+        # from "never-indexed garbage path" (see engine.remove_images)
+        self._dead_paths: set = set()
         # two-stage certified-exact search state (index/twostage.py);
         # None until build_sketch(); invalidated by any append
         self._sketch = None
@@ -592,6 +606,7 @@ class VectorIndex:
 
         for i, p in enumerate(paths):
             self._row[p] = self._size + i
+            self._dead_paths.discard(p)  # re-added after tombstone: live again
         self._paths.extend(paths)
         self._size += n
         return n
@@ -619,6 +634,7 @@ class VectorIndex:
                     removed.append(p)
             if not rows:
                 return 0, []
+            self._dead_paths.update(removed)
             by_slab: dict[int, List[int]] = {}
             for g in rows:
                 i, local = self._locate(g)
@@ -736,6 +752,11 @@ class VectorIndex:
                 size = jnp.asarray(self._size, jnp.int32)
                 n_pad = sum(s.shape[0] for s in slabs)
                 c = min(max(candidates, k), n_pad - 1)
+                if c < k:
+                    # k covers (nearly) the whole corpus: a c-candidate
+                    # stage can't return k rows (top_k(ex, k) would be
+                    # ill-formed) and could save nothing anyway
+                    sk = None
         if sk is None:
             self.twostage_fallbacks += 1
             return self.search(queries, k)
@@ -956,6 +977,14 @@ class VectorIndex:
 
     def has_path(self, path: str) -> bool:
         return path in self._row
+
+    def was_removed(self, path: str) -> bool:
+        """Whether ``path``'s row was tombstoned in THIS process and not
+        re-added since. Lets the engine honor an explicit /remove on a
+        previously pruned path even while the file is absent from disk,
+        without accepting never-indexed garbage paths as exclusions (the
+        durable cross-restart complement is the store's tombstone log)."""
+        return path in self._dead_paths
 
     def get_raw_embeddings(self, paths: Sequence[str]) -> np.ndarray:
         """Stored raw vectors for given paths (the search.rs:43-58 SELECT)."""

@@ -418,6 +418,14 @@ class EmbeddingStore:
             os.fsync(f.fileno())
         return len(todo)
 
+    def has_tombstone(self, path: str) -> bool:
+        """Whether any current-generation tombstone record names ``path`` —
+        i.e. it was deleted (pruned or excluded) at some point since the
+        last compaction. One log read per call; acceptable because the log
+        is bounded by deletions (not corpus size) and the callers (/remove
+        on a rowless path) are rare."""
+        return any(p == path for _, p, _ in self.load_tombstones())
+
     def load_tombstones(self) -> List[Tuple[int, str, bool]]:
         """Current-generation tombstone records in append order as
         (at_row_count, path, excluded). Records from older generations are stale
@@ -539,6 +547,11 @@ class EmbeddingStore:
         pre-compaction segments and orphans of compactions that crashed
         before their manifest commit."""
         keep = {n for n, _, _ in self._sealed} | {self._active}
+        # a swept segment NAME can be reused by a later compaction's
+        # free_seg_index scan — a stale cache entry would then serve the
+        # dead segment's paths for the new one
+        for name in [n for n in self._paths_cache if n not in keep]:
+            del self._paths_cache[name]
         for fname in os.listdir(self.directory):
             stem, dot, _ = fname.partition(".")
             if not dot or fname == self.MANIFEST or fname == self.TOMBSTONES:

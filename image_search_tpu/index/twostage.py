@@ -226,7 +226,22 @@ def sketch_slab_sharded(slab, scale, basis, mesh):
         check_rep=False,
     )
     def _build(slab_l, basis_r, *rest):
-        return _sketch_chunk(slab_l, rest[0] if rest else None, basis_r)
+        # chunk the per-device dequantized-f32 temp exactly like the
+        # unsharded sketch_slab: a 1M-row local shard would otherwise
+        # materialize a 3 GB f32 temp (the OOM SKETCH_CHUNK_ROWS bounds)
+        sc_l = rest[0] if rest else None
+        n_l = slab_l.shape[0]
+        g = SKETCH_CHUNK_ROWS
+        if n_l <= g:
+            return _sketch_chunk(slab_l, sc_l, basis_r)
+        parts_s, parts_t = [], []
+        for off in range(0, n_l, g):
+            end = min(off + g, n_l)
+            sc = None if sc_l is None else sc_l[off:end]
+            s, t = _sketch_chunk(slab_l[off:end], sc, basis_r)
+            parts_s.append(s)
+            parts_t.append(t)
+        return jnp.concatenate(parts_s, axis=0), jnp.concatenate(parts_t, axis=0)
 
     return _build(*args)
 

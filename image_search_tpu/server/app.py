@@ -122,23 +122,30 @@ def build_app(
     app[SCAN_LOCK_KEY] = asyncio.Lock()
     static_dir = static_dir or CLIENT_DIR
     batcher = SearchBatcher(engine, batch_window_ms) if batch_window_ms > 0 else None
+
+    def _spawn_warmup():
+        # precompile the serving buckets off the request path: a cold
+        # bucket otherwise pays its multi-second XLA compile inside the
+        # first live request that hits it (measured: 3.2 s p99 stalls
+        # in the first 32-client load-test rung). Background thread —
+        # requests arriving mid-warmup just share the device as usual.
+        if batcher is None:
+            return
+
+        def _warm():
+            try:
+                engine.warm_serving_buckets(batcher.max_batch)
+            except Exception:
+                log.exception("serving warmup failed (non-fatal)")
+
+        import threading
+
+        threading.Thread(target=_warm, name="serving-warmup", daemon=True).start()
+
     if batcher is not None:
         async def _start_batcher(app):
             batcher.start()
-            # precompile the serving buckets off the request path: a cold
-            # bucket otherwise pays its multi-second XLA compile inside the
-            # first live request that hits it (measured: 3.2 s p99 stalls
-            # in the first 32-client load-test rung). Background thread —
-            # requests arriving mid-warmup just share the device as usual.
-            def _warm():
-                try:
-                    engine.warm_serving_buckets(batcher.max_batch)
-                except Exception:
-                    log.exception("serving warmup failed (non-fatal)")
-
-            import threading
-
-            threading.Thread(target=_warm, name="serving-warmup", daemon=True).start()
+            _spawn_warmup()
 
         async def _stop_batcher(app):
             await batcher.stop()
@@ -223,6 +230,13 @@ def build_app(
                     {"job": job_id, "state": "running", "progress": _dup_progress()},
                     status=202,
                 )
+            # task.exception() RAISES CancelledError on a cancelled task
+            # (server shutdown cancels in-flight jobs) — report it as a
+            # failed job, don't 500 with a traceback
+            if task.cancelled():
+                return web.json_response(
+                    {"job": job_id, "state": "failed"}, status=500
+                )
             if task.exception() is not None:
                 log.error("duplicate scan job failed", exc_info=task.exception())
                 return web.json_response(
@@ -255,9 +269,17 @@ def build_app(
                         engine.find_duplicate_groups, threshold
                     )
 
+            task = asyncio.get_running_loop().create_task(run_job())
+            # consume the exception of a never-polled failed job so it is
+            # logged here, not as asyncio "exception was never retrieved"
+            task.add_done_callback(
+                lambda t: t.cancelled()
+                or t.exception() is None
+                or log.error("duplicate scan job failed", exc_info=t.exception())
+            )
             job = {
                 "id": uuid.uuid4().hex[:12],
-                "task": asyncio.get_running_loop().create_task(run_job()),
+                "task": task,
                 "threshold": threshold,
             }
             dup_job.clear()
@@ -284,6 +306,12 @@ def build_app(
             except Exception:
                 log.exception("Error embedding images")
                 return web.Response(status=200)  # reference always returns 200
+            if stats.embedded:
+                # appends change the slab shapes the serving programs were
+                # compiled for (and a server that STARTED empty skipped
+                # warmup entirely) — re-warm off the request path; unchanged
+                # shapes hit the jit cache and cost nothing
+                _spawn_warmup()
             return web.json_response(
                 {
                     "found": stats.found,

@@ -72,10 +72,9 @@ class SearchEngine:
         # dict concurrently; unguarded next(iter(...)) eviction can raise
         # "dictionary changed size during iteration" under load
         self._text_lock = threading.Lock()
-        # row -> wire-dict template cache (see _wire_row); append-only,
-        # extended under the lock by whichever search thread first needs it
-        self._wire_cache: List[dict] = []
-        self._wire_lock = threading.Lock()
+        # row -> wire-dict template memo (see _wire_row); sparse, filled
+        # per returned row (racing threads write identical values)
+        self._wire_cache: dict = {}
         self.thumb_cache = None
         if getattr(args, "thumb_cache", ""):
             from image_search_tpu.ingest.thumbcache import ThumbCache
@@ -283,17 +282,53 @@ class SearchEngine:
             for sel in (selections or [()] * len(queries))
         ]
         n_feedback = sum(1 for s in sel_lists if s)
+        use_twostage = (
+            n_feedback == 0
+            and not self.args.search_approx
+            and getattr(self.args, "search_twostage", False)
+            and self.index.sketch_fresh
+        )
         with global_metrics.timer("index_search"):
-            # ALWAYS the batched feedback program, even for all-plain
-            # batches: an empty selection degrades to the plain search
-            # bitwise (_feedback_search_local), and index.search would run
-            # at the UNPADDED arrival count B — every distinct B compiles a
-            # fresh XLA program, which showed up as multi-second p99 stalls
-            # in the first 32-client load-test rung (benchmarks/RESULTS.md).
-            # One padded program family serves both.
-            scores, idx = self.index.search_with_feedback_batch(
-                q_mat, sel_lists, k, approx=self.args.search_approx
-            )
+            if use_twostage:
+                # all-plain batch + fresh sketch: ride the certified
+                # two-stage path (it takes [B, D] batches natively). Pad to
+                # the same {8,16,32} bucket family by REPEATING query 0 —
+                # zero-padding would fail the certificate by construction
+                # (a zero query's exact scores are 0 while its residual
+                # bound stays positive) and force the full-scan fallback on
+                # every batch. Buckets incl. the fallback program are
+                # precompiled by warm_serving_buckets.
+                B = q_mat.shape[0]
+                Bpad = 8
+                while Bpad < B:
+                    Bpad *= 2
+                q_pad = (
+                    _jnp.concatenate(
+                        [q_mat, _jnp.broadcast_to(q_mat[:1], (Bpad - B, q_mat.shape[1]))]
+                    )
+                    if Bpad > B
+                    else q_mat
+                )
+                scores, idx = self.index.search_twostage(q_pad, k)
+                scores, idx = scores[:B], idx[:B]
+                global_metrics.gauge(
+                    "twostage_certified_total", float(self.index.twostage_certified)
+                )
+                global_metrics.gauge(
+                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
+                )
+            else:
+                # otherwise ALWAYS the batched feedback program, even for
+                # all-plain batches: an empty selection degrades to the
+                # plain search bitwise (_feedback_search_local), and
+                # index.search would run at the UNPADDED arrival count B —
+                # every distinct B compiles a fresh XLA program, which
+                # showed up as multi-second p99 stalls in the first
+                # 32-client load-test rung (benchmarks/RESULTS.md). One
+                # padded program family serves both.
+                scores, idx = self.index.search_with_feedback_batch(
+                    q_mat, sel_lists, k, approx=self.args.search_approx
+                )
         global_metrics.inc("searches", len(queries))
         global_metrics.inc("searches_with_feedback", n_feedback)
         if len(queries) > 1:  # only true coalescing counts
@@ -332,30 +367,33 @@ class SearchEngine:
                 self.args.k,
                 approx=self.args.search_approx,
             )
+            if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
+                # warm the batched two-stage buckets too; a zero query's
+                # certificate fails by construction, which also compiles
+                # the plain-search fallback program at this bucket size
+                self.index.search_twostage(
+                    np.zeros((n, self.cfg.projection_dim), np.float32), self.args.k
+                )
         global_metrics.gauge("serving_warmup_done", 1.0)
         log.info("serving warmup: %d batch buckets compiled", len(sizes))
         return len(sizes)
 
     def _wire_row(self, row: int) -> dict:
-        """Precomputed ``{"id", "image_path"}`` template for an index row
-        (id = urlencoded path, data/src/lib.rs:19-26). Built ONCE per row,
-        lazily, instead of relpath+urlencode for k=1000 rows on every
+        """Memoized ``{"id", "image_path"}`` template for an index row
+        (id = urlencoded path, data/src/lib.rs:19-26). Built ONCE per
+        RETURNED row instead of relpath+urlencode for k=1000 rows on every
         request (round-2 review: formatting dominated host-side latency).
-        ``index.paths`` is append-only (tombstones mask rows in place;
-        compaction is offline), so cache rows never go stale."""
-        cache = self._wire_cache
-        if row >= len(cache):
-            with self._wire_lock:
-                paths = self.index.paths
-                for r2 in range(len(cache), len(paths)):
-                    media = self.to_media_path(paths[r2])
-                    cache.append(
-                        {
-                            "id": urllib.parse.quote(media, safe=""),
-                            "image_path": media,
-                        }
-                    )
-        return cache[row]
+        Sparse on purpose: eagerly filling the whole corpus would stall the
+        first request for tens of seconds at 10M rows and pin GBs for rows
+        no query ever returns. ``index.paths`` rows are append-only
+        (tombstones mask in place; compaction is offline), so memoized
+        entries never go stale; racing threads write identical values."""
+        d = self._wire_cache.get(row)
+        if d is None:
+            media = self.to_media_path(self.index.paths[row])
+            d = {"id": urllib.parse.quote(media, safe=""), "image_path": media}
+            self._wire_cache[row] = d
+        return d
 
     def _format_results(self, scores_row, idx_row):
         idx_np = np.asarray(idx_row).reshape(-1)
@@ -471,19 +509,35 @@ class SearchEngine:
         self._excluded.update(removed)
         if n:
             global_metrics.inc("removed_images", n)
-        # an already-pruned path (file vanished, later reappeared on disk)
-        # has no live row, so remove_paths is a no-op on it — still honor
-        # the user's explicit deletion by recording an exclusion so a
-        # rescan can never resurrect it
+        # an already-pruned path (file vanished — it may reappear on disk
+        # later) has no live row, so remove_paths is a no-op on it — still
+        # honor the user's explicit deletion by recording an exclusion so a
+        # rescan can never resurrect it, EVEN if the file is absent right
+        # now (filtering on os.path.exists alone would silently drop the
+        # exclusion exactly in the vanished-then-restored case). But do not
+        # let never-indexed garbage paths pollute the exclusion set: accept
+        # a rowless path only if the file exists on disk, or the index/store
+        # remembers actually deleting it (in-process tombstone set; the
+        # store's log covers prune-then-restart).
         gone = set(removed)
+
+        def _deleted_earlier(p: str) -> bool:
+            if self.index.was_removed(p):
+                return True
+            store = self.index.store
+            return store is not None and store.has_tombstone(p)
+
         leftovers = [
             p
             for p in dict.fromkeys(resolved)
-            if p not in gone and p not in self._excluded and os.path.exists(p)
+            if p not in gone
+            and p not in self._excluded
+            and (os.path.exists(p) or _deleted_earlier(p))
         ]
-        if leftovers and self.index.store is not None:
-            self.index.store.exclude_paths(leftovers)
+        if leftovers:
             self._excluded.update(leftovers)
+            if self.index.store is not None:
+                self.index.store.exclude_paths(leftovers)
         return n
 
     def restore_images(self, media_paths) -> int:

@@ -687,6 +687,34 @@ def test_store_compact_drops_tombstoned_rows(tmp_path, rng):
     assert idx3.add([paths[0]], emb[0:1]) == 0  # still-live path dedups
 
 
+def test_recompaction_reused_segment_name_serves_fresh_paths(tmp_path, rng):
+    """Round-3 review: two compactions in ONE process can reuse a swept
+    segment NAME (free_seg_index restarts below the old numbering once the
+    old files are deleted) — the startup path cache must not serve the
+    dead segment's paths for the new content."""
+    paths, emb = make_data(rng, 120)
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=32)
+    idx = VectorIndex(DIM, store=store)
+    idx.add(paths, emb)
+
+    maint = EmbeddingStore(str(tmp_path), DIM, seg_rows=32)
+    maint.tombstone([paths[0]])
+    maint.compact()
+    first_names = {n for n, _, _ in maint._sealed}
+    maint.tombstone([paths[1]])
+    maint.compact()  # may reuse a name from `first_names`' era
+    got_paths, got_rows = maint.load_all()
+    assert sorted(got_paths) == sorted(set(paths) - {paths[0], paths[1]})
+    # row data matches path-for-path (stale cached paths would misalign)
+    by_path = {p: emb[i] for i, p in enumerate(paths)}
+    for p, r in zip(got_paths, got_rows):
+        np.testing.assert_array_equal(r, by_path[p])
+    # a FRESH store agrees (disk truth)
+    fresh_paths, fresh_rows = EmbeddingStore(str(tmp_path), DIM, seg_rows=32).load_all()
+    assert fresh_paths == got_paths
+    np.testing.assert_array_equal(fresh_rows, got_rows)
+
+
 def test_store_compact_noop_without_tombstones(tmp_path, rng):
     paths, emb = make_data(rng, 50)
     store = EmbeddingStore(str(tmp_path), DIM)

@@ -553,6 +553,38 @@ def test_remove_accounting_and_remove_after_prune(tmp_path):
     assert all(r["image_path"] != other for r in eng2.search("x"))
 
 
+def test_remove_while_file_absent_still_excludes(tmp_path):
+    """Round-3 review: /remove on a path whose file is MISSING from disk
+    right now must still record the exclusion — the old os.path.exists
+    filter silently dropped it, so a later reappearance resurrected the
+    photo on rescan despite the user's explicit deletion."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=2)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    victim = eng.search("x")[0]["image_path"]
+    abs_victim = eng.to_abs_path(victim)
+    img_bytes = open(abs_victim, "rb").read()
+    os.remove(abs_victim)
+    assert eng.prune_missing() == 1  # row gone, no exclusion yet
+    # user explicitly removes it WHILE the file is absent
+    assert eng.remove_images([victim]) == 0
+    assert abs_victim in eng._excluded
+    # the file reappears; rescans (this process AND a restart) must not
+    # resurrect it
+    open(abs_victim, "wb").write(img_bytes)
+    assert eng.scan().embedded == 0
+    eng2 = SearchEngine(args)
+    assert eng2.scan().embedded == 0
+    assert all(r["image_path"] != victim for r in eng2.search("x"))
+
+
 def test_duplicates_async_job_flow(tmp_path):
     """Big-corpus contract (round-2 review): /duplicates?async=1 answers
     202 immediately with a job id; polling ?job=<id> yields running (with

@@ -123,6 +123,69 @@ def test_empty_and_sketchless_fall_back(rng):
     assert idx.twostage_fallbacks >= 1
 
 
+def test_k_covering_whole_corpus_falls_back(rng):
+    """size == padded capacity and k >= size: the candidate cap
+    c = n_pad - 1 < k cannot yield k rows — must fall back to the full
+    scan, not crash inside jax.lax.top_k (round-3 review finding)."""
+    n = 4096  # exactly one allocation granule: size == n_pad
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, min_capacity=n)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    assert idx.capacity == n  # precondition: no padding slack
+    idx.build_sketch()
+    q = concentrated(rng, 1)
+    got = idx.search_twostage(q, k=10_000)  # clamps to size = n_pad
+    want = idx.search(q, k=10_000)
+    assert idx.twostage_fallbacks == 1
+    assert_same_answer(got, want)
+
+
+def test_search_many_batched_twostage(tmp_path, rng):
+    """All-plain micro-batches must ride the two-stage path (the flag used
+    to be silently inert for batched traffic); feedback batches keep the
+    fused full program; answers match the full scan either way."""
+    import os
+
+    from PIL import Image
+
+    from image_search_tpu.server.args import ServerArgs
+    from image_search_tpu.server.engine import SearchEngine
+
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(media, f"i{i}.jpg"))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.st"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        search_twostage=True,
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    before = eng.index.twostage_certified + eng.index.twostage_fallbacks
+    res = eng.search_many(["a photo", "another photo", "a third"], None, k=4)
+    assert len(res) == 3 and all(len(r) == 4 for r in res)
+    assert eng.index.twostage_certified + eng.index.twostage_fallbacks == before + 1
+    # same queries through the full-scan batch program agree
+    want = eng.search_many(["a photo"], [[]], k=4)  # plain, twostage again
+    full = eng.index.search_with_feedback_batch(
+        eng._cached_text_embed("a photo"), [[]], 4
+    )
+    assert [r["image_path"] for r in want[0]] == [
+        eng._wire_row(int(i))["image_path"] for i in np.asarray(full[1])[0]
+    ]
+    # a batch containing feedback keeps the fused program (counters frozen)
+    after = eng.index.twostage_certified + eng.index.twostage_fallbacks
+    res_fb = eng.search_many(
+        ["a photo", "x"], [[res[0][0]["image_path"]], []], k=4
+    )
+    assert len(res_fb) == 2
+    assert eng.index.twostage_certified + eng.index.twostage_fallbacks == after
+
+
 @pytest.mark.parametrize("quantize", [None, "int8"])
 def test_sharded_twostage_matches_sharded_full_scan(rng, quantize):
     """Mesh-sharded two-stage (per-shard UB pass + local rescore +
