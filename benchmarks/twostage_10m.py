@@ -167,8 +167,33 @@ def main():
             # exactness audit on the live corpus (B x k ids+scores equal)
             fs, fi = _search_local((buf,), size, q, k, (scl,), False, None)
             if certified:
-                same = bool(jnp.all(fi == ids)) and bool(jnp.all(fs == vals))
+                # scores must be bitwise equal; ids equal as SETS per query
+                # (exact ties in the tail legitimately permute between two
+                # exact programs — observed at 64k rows, k=1000)
+                ids_np, fi_np = np.asarray(ids), np.asarray(fi)
+                same = bool(jnp.all(fs == vals)) and all(
+                    set(ids_np[r]) == set(fi_np[r]) for r in range(ids_np.shape[0])
+                )
                 results[f"{label}_matches_full_b{b}"] = same
+            # certificate margin tau - rest_max: how much bound slack is
+            # left (a bf16/int8 sketch would spend ~0.004 of it)
+            qn = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+            from image_search_tpu.index.twostage import (
+                SLACK, SLACK_T, _exact_query_vector)
+            qt_vec, _, _ = _exact_query_vector(qn, True)
+            q_s = qt_vec @ basis
+            q_res = jnp.sqrt(jnp.maximum(
+                jnp.sum(qt_vec * qt_vec, 1) - jnp.sum(q_s * q_s, 1), 0.0
+            ) + SLACK_T)
+            ub = q_s @ sk.T + q_res[:, None] * rs[None, :] + SLACK
+            ub = jnp.where(
+                jnp.arange(ub.shape[1])[None, :] < n, ub, -jnp.inf
+            )
+            rest_max = jnp.sort(ub, axis=1)[:, -(args.candidates + 1)]
+            tau = vals[:, k - 1]
+            results[f"{label}_margin_b{b}"] = round(
+                float(jnp.min(tau - rest_max)), 5
+            )
             save()
             log(json.dumps({kk: results[kk] for kk in results if label in kk}))
         del buf, scl, sk, rs
