@@ -112,16 +112,16 @@ def main():
             q = rng.normal(size=(b, d)).astype(np.float32)
         return jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
 
-    def build_sketch(buf, scl):
+    def build_sketch(buf, scl, to_bf16=False):
         t0 = time.perf_counter()
         idx = jnp.asarray(np.linspace(0, n - 1, 8192).astype(np.int32))
         from image_search_tpu.index.index import _gather_rows
 
         sample = np.asarray(_gather_rows((buf,), (scl,), idx), np.float32)
         basis = jnp.asarray(twostage.fit_basis(sample, 64))
-        s, t = twostage.sketch_slab(buf, scl, basis)
+        s, t, slack = twostage.sketch_slab(buf, scl, basis, to_bf16)
         float(t[0])  # sync
-        return basis, s, t, time.perf_counter() - t0
+        return basis, s, t, slack, time.perf_counter() - t0
 
     def time_fn(fn, m=15):
         def burst(mm):
@@ -138,65 +138,91 @@ def main():
         return min(burst(m) for _ in range(3)) * 1e3
 
     size = jnp.asarray(n, jnp.int32)
-    for label, concentrated in (("concentrated", True), ("flat", False)):
+    # (corpus label, concentrated?, sketch dtype tag): bf16 sketch halves
+    # stage-1 bytes and is only interesting where the certificate holds,
+    # so the flat control runs f32 only
+    plans = [
+        ("concentrated", True, ("", "bf16_")),
+        ("flat", False, ("",)),
+    ]
+    for label, concentrated, dtags in plans:
         buf, scl, mix = build_corpus(concentrated)
-        basis, sk, rs, build_s = build_sketch(buf, scl)
-        results[f"{label}_sketch_build_s"] = round(build_s, 2)
-        save()
+        full_ms_by_b = {}
         for b in (1, 8):
             q = queries(mix, concentrated, b)
-            full_ms = time_fn(
+            full_ms_by_b[b] = time_fn(
                 lambda: _search_local((buf,), size, q, k, (scl,), False, None)
             )
-            results[f"{label}_full_b{b}_ms"] = round(full_ms, 2)
+            results[f"{label}_full_b{b}_ms"] = round(full_ms_by_b[b], 2)
             save()
-            ts = lambda: twostage.twostage_topk(
-                (buf,), (sk,), (rs,), basis, size, q, k, args.candidates,
-                (scl,), None,
+        for dtag in dtags:
+            basis, sk, rs, slack, build_s = build_sketch(
+                buf, scl, to_bf16=bool(dtag)
             )
-            ts_ms = time_fn(ts)
-            vals, ids, cert = ts()
-            certified = bool(jnp.all(cert))
-            results[f"{label}_twostage_b{b}_ms"] = round(ts_ms, 2)
-            results[f"{label}_certified_b{b}"] = certified
-            # end-to-end cost the user sees: certified => one pass;
-            # fallback => bound pass + full scan
-            e2e = ts_ms if certified else ts_ms + full_ms
-            results[f"{label}_exact_e2e_b{b}_ms"] = round(e2e, 2)
+            results[f"{label}_{dtag}sketch_build_s"] = round(build_s, 2)
+            if dtag:
+                results[f"{label}_{dtag}ub_slack"] = round(float(slack), 6)
             save()
-            # exactness audit on the live corpus (B x k ids+scores equal)
-            fs, fi = _search_local((buf,), size, q, k, (scl,), False, None)
-            if certified:
-                # scores must be bitwise equal; ids equal as SETS per query
-                # (exact ties in the tail legitimately permute between two
-                # exact programs — observed at 64k rows, k=1000)
-                ids_np, fi_np = np.asarray(ids), np.asarray(fi)
-                same = bool(jnp.all(fs == vals)) and all(
-                    set(ids_np[r]) == set(fi_np[r]) for r in range(ids_np.shape[0])
+            for b in (1, 8):
+                q = queries(mix, concentrated, b)
+                full_ms = full_ms_by_b[b]
+                ts = lambda: twostage.twostage_topk(
+                    (buf,), (sk,), (rs,), basis, size, q, k, args.candidates,
+                    (scl,), None, slack,
                 )
-                results[f"{label}_matches_full_b{b}"] = same
-            # certificate margin tau - rest_max: how much bound slack is
-            # left (a bf16/int8 sketch would spend ~0.004 of it)
-            qn = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-            from image_search_tpu.index.twostage import (
-                SLACK, SLACK_T, _exact_query_vector)
-            qt_vec, _, _ = _exact_query_vector(qn, True)
-            q_s = qt_vec @ basis
-            q_res = jnp.sqrt(jnp.maximum(
-                jnp.sum(qt_vec * qt_vec, 1) - jnp.sum(q_s * q_s, 1), 0.0
-            ) + SLACK_T)
-            ub = q_s @ sk.T + q_res[:, None] * rs[None, :] + SLACK
-            ub = jnp.where(
-                jnp.arange(ub.shape[1])[None, :] < n, ub, -jnp.inf
-            )
-            rest_max = jnp.sort(ub, axis=1)[:, -(args.candidates + 1)]
-            tau = vals[:, k - 1]
-            results[f"{label}_margin_b{b}"] = round(
-                float(jnp.min(tau - rest_max)), 5
-            )
-            save()
-            log(json.dumps({kk: results[kk] for kk in results if label in kk}))
-        del buf, scl, sk, rs
+                ts_ms = time_fn(ts)
+                vals, ids, cert = ts()
+                certified = bool(jnp.all(cert))
+                results[f"{label}_{dtag}twostage_b{b}_ms"] = round(ts_ms, 2)
+                results[f"{label}_{dtag}certified_b{b}"] = certified
+                # end-to-end cost the user sees: certified => one pass;
+                # fallback => bound pass + full scan
+                e2e = ts_ms if certified else ts_ms + full_ms
+                results[f"{label}_{dtag}exact_e2e_b{b}_ms"] = round(e2e, 2)
+                save()
+                # exactness audit on the live corpus
+                fs, fi = _search_local((buf,), size, q, k, (scl,), False, None)
+                if certified:
+                    # scores bitwise equal; ids equal as SETS per query
+                    # (exact ties in the tail legitimately permute between
+                    # two exact programs — observed at 64k rows, k=1000)
+                    ids_np, fi_np = np.asarray(ids), np.asarray(fi)
+                    same = bool(jnp.all(fs == vals)) and all(
+                        set(ids_np[r]) == set(fi_np[r])
+                        for r in range(ids_np.shape[0])
+                    )
+                    results[f"{label}_{dtag}matches_full_b{b}"] = same
+                # certificate margin tau - rest_max: remaining bound slack
+                # (the bf16 sketch spends ~ub_slack of the f32 margin)
+                qn = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+                from image_search_tpu.index.twostage import (
+                    SLACK, SLACK_T, _exact_query_vector)
+                qt_vec, _, _ = _exact_query_vector(qn, True)
+                q_s = qt_vec @ basis
+                qs2 = jnp.sum(q_s * q_s, 1)
+                q_res = jnp.sqrt(jnp.maximum(
+                    jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0
+                ) + SLACK_T)
+                infl = jnp.sqrt(qs2) * slack + SLACK
+                dot = jax.lax.dot_general(
+                    q_s.astype(sk.dtype), sk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ub = dot + q_res[:, None] * rs[None, :] + infl[:, None]
+                ub = jnp.where(
+                    jnp.arange(ub.shape[1])[None, :] < n, ub, -jnp.inf
+                )
+                rest_max = jnp.sort(ub, axis=1)[:, -(args.candidates + 1)]
+                tau = vals[:, k - 1]
+                results[f"{label}_{dtag}margin_b{b}"] = round(
+                    float(jnp.min(tau - rest_max)), 5
+                )
+                save()
+                log(json.dumps(
+                    {kk: results[kk] for kk in results if label in kk}
+                ))
+            del sk, rs
+        del buf, scl
     print(json.dumps(results))
 
 

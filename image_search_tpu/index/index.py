@@ -243,12 +243,13 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 @lru_cache(maxsize=64)
 def _sharded_twostage_fn(mesh: Mesh, k: int, c: int):
     @jax.jit
-    def fn(slabs, sketches, resid, basis, size, queries, scales=None, pens=None):
+    def fn(slabs, sketches, resid, basis, size, queries, ub_slack,
+           scales=None, pens=None):
         from image_search_tpu.index.twostage import sharded_twostage_topk
 
         return sharded_twostage_topk(
             slabs, sketches, resid, basis, size, queries, k, mesh, c,
-            scales, pens,
+            scales, pens, ub_slack,
         )
 
     return fn
@@ -684,15 +685,23 @@ class VectorIndex:
 
     # -- two-stage certified-exact search (index/twostage.py) ------------------
 
-    def build_sketch(self, d_s: int = 64, sample_rows: int = 8192) -> None:
+    def build_sketch(
+        self, d_s: int = 64, sample_rows: int = 8192, dtype: str = "float32"
+    ) -> None:
         """Build the sketch for certified two-stage exact search.
 
         One streaming pass over the corpus (a ~10 ms-class matmul per slab)
         plus a host SVD of a strided row sample. Appends invalidate it;
         call again after ingest (the engine does this when
-        ``--search-twostage`` is on). No-op on an empty index."""
+        ``--search-twostage`` is on). No-op on an empty index.
+
+        ``dtype="bfloat16"`` stores the sketch in bf16 — halves stage-1
+        HBM bytes per query (still certified-exact: the rounding cost is
+        folded into a data-derived UB inflation, twostage._sketch_chunk) —
+        worth it when the certificate margin affords ~0.004."""
         from image_search_tpu.index import twostage
 
+        to_bf16 = dtype in ("bfloat16", "bf16")
         with self._lock:
             if self._size == 0:
                 return
@@ -706,22 +715,25 @@ class VectorIndex:
             _gather_rows(slabs, scales, idx), np.float32
         )
         basis = jnp.asarray(twostage.fit_basis(sample, d_s))
-        sketches, resid = [], []
+        sketches, resid, slack = [], [], jnp.zeros((), jnp.float32)
         for i, slab in enumerate(slabs):
             sc = None if scales is None else scales[i]
             if self.mesh is not None:
                 # per-device build keeps sketch rows aligned with the
                 # slab's P(data, None) layout for sharded_twostage_topk
-                s, t = twostage.sketch_slab_sharded(slab, sc, basis, self.mesh)
+                s, t, d = twostage.sketch_slab_sharded(
+                    slab, sc, basis, self.mesh, to_bf16
+                )
             else:
-                s, t = twostage.sketch_slab(slab, sc, basis)
+                s, t, d = twostage.sketch_slab(slab, sc, basis, to_bf16)
             sketches.append(s)
             resid.append(t)
+            slack = jnp.maximum(slack, jnp.asarray(d, jnp.float32).reshape(()))
         with self._lock:
             if self._size != size:
                 return  # concurrent append won the race; sketch is stale
             self._sketch = twostage.SketchState(
-                basis, tuple(sketches), tuple(resid), size
+                basis, tuple(sketches), tuple(resid), size, slack
             )
 
     @property
@@ -762,14 +774,15 @@ class VectorIndex:
             return self.search(queries, k)
         if self.mesh is not None:
             s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
-                slabs, sk.sketches, sk.resid, sk.basis, size, q, scales, pens
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
+                scales, pens
             )
         else:
             from image_search_tpu.index.twostage import twostage_topk
 
             s, i, cert = twostage_topk(
                 slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
-                scales, pens,
+                scales, pens, sk.ub_slack,
             )
         if bool(jnp.all(cert)):
             self.twostage_certified += 1

@@ -69,9 +69,15 @@ class SketchState(NamedTuple):
     """Device-resident sketch aligned with the index's emb slabs."""
 
     basis: jax.Array            # [D, d_s] f32 orthonormal
-    sketches: Tuple[jax.Array, ...]  # per slab: [n_b, d_s] f32
+    sketches: Tuple[jax.Array, ...]  # per slab: [n_b, d_s] f32 or bf16
     resid: Tuple[jax.Array, ...]     # per slab: [n_b] f32 residual norms
     built_rows: int             # corpus size the sketch covers
+    # UB inflation for lossy sketch storage (bf16): the data-derived
+    # max over rows of ||a_i - round(a_i)|| + 2^-9 ||round(a_i)||, which
+    # dominates BOTH the storage rounding and the query-side cast in the
+    # UB dot (see _sketch_chunk). Zero for f32 sketches. Device scalar so
+    # a rebuild never retraces the search program.
+    ub_slack: jax.Array = None  # f32 scalar
 
 
 def fit_basis(sample_rows: np.ndarray, d_s: int = DEFAULT_SKETCH_DIM) -> np.ndarray:
@@ -99,14 +105,32 @@ def _dequant_rows(slab: jax.Array, scale: Optional[jax.Array]) -> jax.Array:
     return r
 
 
-@jax.jit
-def _sketch_chunk(slab, scale, basis):
+@partial(jax.jit, static_argnames=("to_bf16",))
+def _sketch_chunk(slab, scale, basis, to_bf16: bool = False):
+    """One chunk -> (sketch, inflated residual norm, ub_slack scalar).
+
+    ``to_bf16`` stores the sketch in bfloat16: stage 1 then reads HALF the
+    bytes per row (128 B vs 256 B at d_s=64). The bound stays rigorous:
+    with a = W^T r and a~ = bf16(a),
+        q_s . a  <=  q_s . a~  +  ||q_s|| (||a - a~|| + 2^-9 ||a~||)
+    where the 2^-9 ||a~|| term also absorbs rounding q_s itself to bf16
+    for the MXU dot (|(q_s - bf16(q_s)) . a~| <= 2^-9 ||q_s|| ||a~||).
+    Since ||q_s|| <= 1 for unit queries, the per-chunk MAX of the bracket
+    is a valid additive UB inflation — returned as a scalar so it costs
+    zero extra HBM reads per query (measured bracket ~= 0.004; spend it
+    only when the certificate margin affords it)."""
     r = _dequant_rows(slab, scale)
     s = r @ basis
     nrm2 = jnp.sum(r * r, axis=1)
     ss = jnp.sum(s * s, axis=1)
     t = jnp.sqrt(jnp.maximum(nrm2 - ss, 0.0) + SLACK_T)
-    return s, t
+    if not to_bf16:
+        return s, t, jnp.zeros((), jnp.float32)
+    s16 = s.astype(jnp.bfloat16)
+    s16f = s16.astype(jnp.float32)
+    delta = jnp.sqrt(jnp.sum((s - s16f) ** 2, axis=1))
+    anorm = jnp.sqrt(jnp.sum(s16f * s16f, axis=1))
+    return s16, t, jnp.max(delta + anorm * (2.0 ** -9))
 
 
 # per-chunk dequantized-f32 temp cap: 262144 x 768 f32 = 805 MB. Sketching
@@ -121,20 +145,27 @@ def sketch_slab(
     slab: jax.Array,                 # [n, D] f32/bf16/int8 rows
     scale: Optional[jax.Array],      # [n] f32 for int8, else None
     basis: jax.Array,                # [D, d_s] f32
+    to_bf16: bool = False,
 ):
-    """One slab -> (sketch [n, d_s] f32, inflated residual norms [n] f32)."""
+    """One slab -> (sketch [n, d_s], inflated residual norms [n] f32,
+    ub_slack f32 scalar — see _sketch_chunk)."""
     n = slab.shape[0]
     g = SKETCH_CHUNK_ROWS
     if n <= g:
-        return _sketch_chunk(slab, scale, basis)
-    parts_s, parts_t = [], []
+        return _sketch_chunk(slab, scale, basis, to_bf16)
+    parts_s, parts_t, slacks = [], [], []
     for off in range(0, n, g):  # static slice bounds: one compile per shape
         end = min(off + g, n)
         sc = None if scale is None else scale[off:end]
-        s, t = _sketch_chunk(slab[off:end], sc, basis)
+        s, t, d = _sketch_chunk(slab[off:end], sc, basis, to_bf16)
         parts_s.append(s)
         parts_t.append(t)
-    return jnp.concatenate(parts_s, axis=0), jnp.concatenate(parts_t, axis=0)
+        slacks.append(d)
+    return (
+        jnp.concatenate(parts_s, axis=0),
+        jnp.concatenate(parts_t, axis=0),
+        jnp.max(jnp.stack(slacks)),
+    )
 
 
 def _exact_query_vector(q: jax.Array, is_int8: bool) -> jax.Array:
@@ -202,11 +233,12 @@ def _gather_pens(pens, idx):
     return out
 
 
-def sketch_slab_sharded(slab, scale, basis, mesh):
+def sketch_slab_sharded(slab, scale, basis, mesh, to_bf16: bool = False):
     """Sketch one mesh-sharded slab: per-device ``_sketch_chunk`` over the
     LOCAL rows, so sketch/residual shardings align row-for-row with the
     slab's ``P(data, None)`` layout and the f32 dequantized temp is bounded
-    at local_n x D per device (no cross-device traffic at all)."""
+    at local_n x D per device (no cross-device traffic at all). Returns
+    (sketch, resid, ub_slack scalar — the pmax over devices)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -222,7 +254,7 @@ def sketch_slab_sharded(slab, scale, basis, mesh):
         shard_map,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
         check_rep=False,
     )
     def _build(slab_l, basis_r, *rest):
@@ -233,15 +265,20 @@ def sketch_slab_sharded(slab, scale, basis, mesh):
         n_l = slab_l.shape[0]
         g = SKETCH_CHUNK_ROWS
         if n_l <= g:
-            return _sketch_chunk(slab_l, sc_l, basis_r)
-        parts_s, parts_t = [], []
-        for off in range(0, n_l, g):
-            end = min(off + g, n_l)
-            sc = None if sc_l is None else sc_l[off:end]
-            s, t = _sketch_chunk(slab_l[off:end], sc, basis_r)
-            parts_s.append(s)
-            parts_t.append(t)
-        return jnp.concatenate(parts_s, axis=0), jnp.concatenate(parts_t, axis=0)
+            s, t, d = _sketch_chunk(slab_l, sc_l, basis_r, to_bf16)
+        else:
+            parts_s, parts_t, slacks = [], [], []
+            for off in range(0, n_l, g):
+                end = min(off + g, n_l)
+                sc = None if sc_l is None else sc_l[off:end]
+                s, t, d = _sketch_chunk(slab_l[off:end], sc, basis_r, to_bf16)
+                parts_s.append(s)
+                parts_t.append(t)
+                slacks.append(d)
+            s = jnp.concatenate(parts_s, axis=0)
+            t = jnp.concatenate(parts_t, axis=0)
+            d = jnp.max(jnp.stack(slacks))
+        return s, t, jax.lax.pmax(d, DATA_AXIS)
 
     return _build(*args)
 
@@ -258,6 +295,7 @@ def sharded_twostage_topk(
     c: int = DEFAULT_CANDIDATES,
     scales=None,            # tuple of [n_b] f32 for int8 slabs, each P(data)
     pens=None,              # tuple of [n_b] f32 additive penalties, or None
+    ub_slack=0.0,           # f32 scalar: bf16-sketch UB inflation (0 for f32)
 ):
     """Certified exact top-k over a row-sharded corpus (SPMD two-stage).
 
@@ -299,8 +337,10 @@ def sharded_twostage_topk(
         P(None, None),
         P(),
         P(None, None),
+        P(),
     ]
-    args = [slabs, tuple(sketches), tuple(resid), basis, size, queries]
+    args = [slabs, tuple(sketches), tuple(resid), basis, size, queries,
+            jnp.asarray(ub_slack, jnp.float32)]
     has_scales = scales is not None
     if has_scales:
         in_specs.append(tuple(P(DATA_AXIS) for _ in slabs))
@@ -317,7 +357,7 @@ def sharded_twostage_topk(
         out_specs=(P(None, None), P(None, None), P(None)),
         check_rep=False,
     )
-    def _search(slabs_l, sk_l, rs_l, basis_r, size_l, queries_r, *rest):
+    def _search(slabs_l, sk_l, rs_l, basis_r, size_l, queries_r, slack_r, *rest):
         scales_l = rest[0] if has_scales else None
         pens_l = rest[int(has_scales)] if has_pens else None
         shard_id = jax.lax.axis_index(DATA_AXIS)
@@ -325,16 +365,22 @@ def sharded_twostage_topk(
         q = _l2(queries_r.astype(jnp.float32))
         qt_vec, qi, qs = _exact_query_vector(q, is_int8)
         q_s = qt_vec @ basis_r
+        qs2 = jnp.sum(q_s * q_s, 1)
         q_res = jnp.sqrt(
-            jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - jnp.sum(q_s * q_s, 1), 0.0)
-            + SLACK_T
+            jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
         )
+        infl = jnp.sqrt(qs2) * slack_r + SLACK
 
         # stage 1: upper bounds over local sketch rows only
         ub_parts, gid_parts = [], []
+        qsk = q_s.astype(sk_l[0].dtype)
         for b, sk in enumerate(sk_l):
             nb_local = sk.shape[0]
-            ub = q_s @ sk.T + q_res[:, None] * rs_l[b][None, :] + SLACK
+            dot = jax.lax.dot_general(
+                qsk, sk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ub = dot + q_res[:, None] * rs_l[b][None, :] + infl[:, None]
             if pens_l is not None:
                 ub = ub + pens_l[b][None, :]
             ub_parts.append(ub)
@@ -385,7 +431,7 @@ def sharded_twostage_topk(
 @partial(jax.jit, static_argnames=("k", "c"))
 def twostage_topk(
     slabs,                  # tuple of [n_b, D] row slabs (f32/bf16/int8)
-    sketches,               # tuple of [n_b, d_s] f32 (SketchState.sketches)
+    sketches,               # tuple of [n_b, d_s] (SketchState.sketches)
     resid,                  # tuple of [n_b] f32 (SketchState.resid)
     basis,                  # [D, d_s] f32
     size,                   # int32 scalar: #valid rows
@@ -394,6 +440,7 @@ def twostage_topk(
     c: int = DEFAULT_CANDIDATES,
     scales=None,            # tuple of [n_b] f32 for int8 slabs
     pens=None,              # tuple of [n_b] f32 additive penalties, or None
+    ub_slack=0.0,           # f32 scalar: bf16-sketch UB inflation (0 for f32)
 ):
     """Certified exact top-k. Returns (vals [B,k], ids [B,k],
     certified [B] bool). Rows of ``certified`` that are False MUST be
@@ -405,17 +452,23 @@ def twostage_topk(
     q = _l2(queries.astype(jnp.float32))
     qt_vec, qi, qs = _exact_query_vector(q, is_int8)
     q_s = qt_vec @ basis                                   # [B, d_s]
+    qs2 = jnp.sum(q_s * q_s, 1)
     q_res = jnp.sqrt(
-        jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - jnp.sum(q_s * q_s, 1), 0.0)
-        + SLACK_T
+        jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
     )                                                      # [B]
+    # per-query additive inflation for lossy sketches (see _sketch_chunk)
+    infl = jnp.sqrt(qs2) * ub_slack + SLACK                # [B]
 
     # stage 1: upper bounds, reading only sketches + residual norms
     parts = []
     start = 0
+    qsk = q_s.astype(sketches[0].dtype)  # bf16 dot for bf16 sketches
     for i, sk in enumerate(sketches):
         n = sk.shape[0]
-        ub = q_s @ sk.T + q_res[:, None] * resid[i][None, :] + SLACK
+        dot = jax.lax.dot_general(
+            qsk, sk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ub = dot + q_res[:, None] * resid[i][None, :] + infl[:, None]
         if pens is not None:
             ub = ub + pens[i][None, :]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size

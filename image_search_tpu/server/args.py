@@ -37,6 +37,7 @@ class ServerArgs:
     k: int = 1000  # reference hardcodes 1000 (search.rs:76); we expose it
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
     search_twostage: bool = False  # certified exact sketch+rescore (twostage.py)
+    sketch_dtype: str = "float32"  # float32|bfloat16: bf16 halves stage-1 bytes
     prune_on_scan: bool = False  # tombstone indexed images whose files vanished
     batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
     static_dir: Optional[str] = None
@@ -99,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "rescore, full-scan fallback when the certificate "
                         "fails — beats the HBM-read floor on spectrally "
                         "concentrated (realistic) corpora")
+    p.add_argument("--sketch-dtype", choices=["float32", "bfloat16"],
+                   default=d.sketch_dtype,
+                   help="two-stage sketch storage: bfloat16 halves the "
+                        "bound-pass HBM bytes (still certified-exact; the "
+                        "rounding cost is folded into the bound)")
     p.add_argument("--prune-on-scan", action="store_true", default=d.prune_on_scan,
                    help="each scan also tombstones indexed images whose files "
                         "no longer exist (the reference keeps them forever)")

@@ -93,7 +93,10 @@ class SearchEngine:
             capacity=args.index_capacity,
         )
         if getattr(args, "search_twostage", False) and len(self.index):
-            self.index.build_sketch()  # restored rows: certified path from query 1
+            # restored rows: certified path from query 1
+            self.index.build_sketch(
+                dtype=getattr(args, "sketch_dtype", "float32")
+            )
         log.info(
             "engine ready: model=%s dim=%d corpus=%d devices=%d",
             cfg.name,
@@ -644,7 +647,9 @@ class SearchEngine:
             # appends invalidated the sketch; rebuild so queries stay on
             # the certified fast path (one streaming pass per slab)
             with global_metrics.timer("sketch_build"):
-                self.index.build_sketch()
+                self.index.build_sketch(
+                    dtype=getattr(self.args, "sketch_dtype", "float32")
+                )
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)
         global_metrics.inc("decode_failures", stats.decode_failures)

@@ -187,6 +187,94 @@ def test_search_many_batched_twostage(tmp_path, rng):
 
 
 @pytest.mark.parametrize("quantize", [None, "int8"])
+def test_bf16_sketch_certified_exact(rng, quantize):
+    """bfloat16 sketch storage (halved stage-1 bytes): the rounding cost
+    is folded into the data-derived ub_slack, so certified answers must
+    STILL equal the full scan bitwise."""
+    n, k, c = 20_000, 100, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, quantize=quantize)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch(dtype="bfloat16")
+    import jax.numpy as jnp
+
+    assert idx._sketch.sketches[0].dtype == jnp.bfloat16
+    assert float(idx._sketch.ub_slack) > 0.0
+    q = concentrated(rng, 3)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    if quantize == "int8":
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    else:
+        assert_same_answer(got, want)
+    # f32 sketches carry zero inflation
+    idx.build_sketch()
+    assert float(idx._sketch.ub_slack) == 0.0
+
+
+def test_bf16_sketch_bound_is_valid_everywhere(rng):
+    """Property behind the certificate: for EVERY row, the bf16-sketch
+    upper bound (with its inflation) dominates the exact score — on data
+    with NO helpful spectrum, and checked against adversarial queries."""
+    import jax.numpy as jnp
+
+    from image_search_tpu.index import twostage
+
+    n = 4_096
+    emb = flat(rng, n)  # worst case for tightness; validity must not care
+    idx = VectorIndex(DIM, quantize="int8")
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch(dtype="bfloat16")
+    sk = idx._sketch
+    slabs, _, scales, _ = idx._snapshot()
+    q = np.concatenate([flat(rng, 4), emb[:4]])  # incl. exact-row queries
+    qj = jnp.asarray(q)
+    from image_search_tpu.index.index import _l2
+    from image_search_tpu.index.twostage import (
+        SLACK, SLACK_T, _exact_query_vector)
+
+    qn = _l2(qj)
+    qt_vec, qi, qs = _exact_query_vector(qn, True)
+    q_s = qt_vec @ sk.basis
+    qs2 = jnp.sum(q_s * q_s, 1)
+    q_res = jnp.sqrt(
+        jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
+    )
+    infl = jnp.sqrt(qs2) * sk.ub_slack + SLACK
+    dot = jnp.asarray(
+        np.asarray(q_s.astype(jnp.bfloat16), np.float32)
+        @ np.asarray(sk.sketches[0], np.float32).T
+    )
+    ub = dot + q_res[:, None] * sk.resid[0][None, :] + infl[:, None]
+    # exact scores of every live row (same arithmetic as the full scan)
+    exact = twostage._rescore_int8(
+        slabs, scales, jnp.broadcast_to(jnp.arange(n)[None, :], (len(q), n)),
+        qi, qs,
+    )
+    assert bool(jnp.all(ub[:, :n] >= exact))
+
+
+def test_sharded_bf16_sketch_certified_exact(rng):
+    """The mesh-sharded UB pass honors the bf16 inflation too."""
+    from image_search_tpu.parallel import make_mesh
+
+    n, k, c = 16_384, 50, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1), quantize="int8")
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch(dtype="bfloat16")
+    assert float(idx._sketch.ub_slack) > 0.0
+    q = concentrated(rng, 3)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+@pytest.mark.parametrize("quantize", [None, "int8"])
 def test_sharded_twostage_matches_sharded_full_scan(rng, quantize):
     """Mesh-sharded two-stage (per-shard UB pass + local rescore +
     all_gather merge) must equal the full sharded scan; on the
@@ -235,9 +323,11 @@ def test_sharded_twostage_flat_corpus_falls_back(rng):
     assert_same_answer(got, want)
 
 
-def test_engine_flag_wires_twostage(tmp_path, rng):
-    """--search-twostage: scan builds the sketch, plain searches ride the
-    certified path, feedback searches keep the fused full path."""
+@pytest.mark.parametrize("sketch_dtype", ["float32", "bfloat16"])
+def test_engine_flag_wires_twostage(tmp_path, rng, sketch_dtype):
+    """--search-twostage: scan builds the sketch (in --sketch-dtype), plain
+    searches ride the certified path, feedback searches keep the fused
+    full path."""
     import os
 
     from PIL import Image
@@ -256,10 +346,15 @@ def test_engine_flag_wires_twostage(tmp_path, rng):
         media_dir=media,
         index_dir=str(tmp_path / "idx"),
         search_twostage=True,
+        sketch_dtype=sketch_dtype,
     )
     eng = SearchEngine(args)
     eng.scan()
     assert eng.index.sketch_fresh  # rebuilt at scan end
+    import jax.numpy as jnp
+
+    want_dt = jnp.bfloat16 if sketch_dtype == "bfloat16" else jnp.float32
+    assert eng.index._sketch.sketches[0].dtype == want_dt
     res = eng.search("anything", [])
     assert len(res) == 5
     assert eng.index.twostage_certified + eng.index.twostage_fallbacks == 1
