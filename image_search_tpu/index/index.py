@@ -271,6 +271,11 @@ def _sharded_feedback_fn(mesh: Mesh, k: int, approx: bool):
 class VectorIndex:
     """Exact cosine top-k index resident in device HBM (slab storage)."""
 
+    # consecutive two-stage certificate failures before the sketch is
+    # dropped (flat-spectrum corpora would otherwise pay bound pass + full
+    # scan on every query forever); re-armed by build_sketch
+    TWOSTAGE_DISABLE_AFTER = 8
+
     def __init__(
         self,
         dim: int,
@@ -335,6 +340,9 @@ class VectorIndex:
         self._sketch = None
         self.twostage_certified = 0
         self.twostage_fallbacks = 0
+        # consecutive certificate failures; at TWOSTAGE_DISABLE_AFTER the
+        # sketch is dropped until the next build (see search_twostage)
+        self._twostage_consec_failures = 0
         if capacity is not None:
             self._preallocate(capacity)
         else:
@@ -735,6 +743,7 @@ class VectorIndex:
             self._sketch = twostage.SketchState(
                 basis, tuple(sketches), tuple(resid), size, slack
             )
+            self._twostage_consec_failures = 0  # re-arm adaptive disable
 
     @property
     def sketch_fresh(self) -> bool:
@@ -751,7 +760,15 @@ class VectorIndex:
         construction per shard (local UB pass + local rescore, zero row
         movement) with one devices*local_k all_gather merge — both the
         7.7 GB/chip read bound AND the per-query bytes shrink linearly
-        with the mesh."""
+        with the mesh.
+
+        Adaptive disable: a spectrally flat corpus fails the certificate
+        on EVERY query — each one would pay bound pass + full scan, a
+        permanent ~30% latency tax. After ``TWOSTAGE_DISABLE_AFTER``
+        consecutive certificate failures the sketch is dropped (searches
+        go straight to the full scan); the next ``build_sketch`` (every
+        scan with --search-twostage) re-arms it, so a corpus whose
+        spectrum concentrates as it grows gets re-tried."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         with self._lock:
             sk = self._sketch
@@ -786,8 +803,19 @@ class VectorIndex:
             )
         if bool(jnp.all(cert)):
             self.twostage_certified += 1
+            self._twostage_consec_failures = 0
             return np.asarray(s), np.asarray(i)
         self.twostage_fallbacks += 1
+        self._twostage_consec_failures += 1
+        if self._twostage_consec_failures >= self.TWOSTAGE_DISABLE_AFTER:
+            logging.getLogger(__name__).warning(
+                "two-stage certificate failed %d consecutive times — "
+                "corpus spectrum too flat; disabling the sketch until the "
+                "next rebuild",
+                self._twostage_consec_failures,
+            )
+            with self._lock:
+                self._sketch = None
         return self.search(queries, k)
 
     # -- queries ---------------------------------------------------------------

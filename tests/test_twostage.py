@@ -71,6 +71,37 @@ def test_fallback_on_flat_corpus_still_exact(rng):
     assert_same_answer(got, want)
 
 
+def test_adaptive_disable_after_consecutive_failures(rng):
+    """A flat corpus fails the certificate on every query; after
+    TWOSTAGE_DISABLE_AFTER consecutive failures the sketch is dropped so
+    queries stop paying bound pass + full scan. build_sketch re-arms."""
+    n, k = 8_000, 20
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    q = flat(rng, 1)
+    for j in range(VectorIndex.TWOSTAGE_DISABLE_AFTER):
+        got = idx.search_twostage(q, k)  # exact every time (fallback)
+        assert_same_answer(got, idx.search(q, k))
+    assert idx._sketch is None  # disabled
+    before = idx.twostage_fallbacks
+    idx.search_twostage(q, k)  # no bound pass, straight to full scan
+    assert idx.twostage_fallbacks == before + 1
+    idx.build_sketch()  # re-armed
+    assert idx.sketch_fresh
+    assert idx._twostage_consec_failures == 0
+    # a certified success RESETS the consecutive counter
+    idx2 = VectorIndex(DIM)
+    emb2 = concentrated(rng, n)
+    idx2.add([f"c{i}" for i in range(n)], emb2)
+    idx2.build_sketch()
+    idx2._twostage_consec_failures = VectorIndex.TWOSTAGE_DISABLE_AFTER - 1
+    idx2.search_twostage(concentrated(rng, 1), k, candidates=512)
+    assert idx2.twostage_certified == 1
+    assert idx2._twostage_consec_failures == 0
+
+
 def test_append_invalidates_sketch(rng):
     n, k = 4_000, 10
     emb = concentrated(rng, n)
