@@ -377,6 +377,9 @@ class SearchEngine:
                 self.index.search_twostage(
                     np.zeros((n, self.cfg.projection_dim), np.float32), self.args.k
                 )
+        # warmup's by-construction certificate failures say nothing about
+        # the corpus spectrum — don't let them trip the adaptive disable
+        self.index._twostage_consec_failures = 0
         global_metrics.gauge("serving_warmup_done", 1.0)
         log.info("serving warmup: %d batch buckets compiled", len(sizes))
         return len(sizes)
