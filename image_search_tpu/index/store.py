@@ -418,13 +418,13 @@ class EmbeddingStore:
             os.fsync(f.fileno())
         return len(todo)
 
-    def has_tombstone(self, path: str) -> bool:
-        """Whether any current-generation tombstone record names ``path`` —
-        i.e. it was deleted (pruned or excluded) at some point since the
-        last compaction. One log read per call; acceptable because the log
-        is bounded by deletions (not corpus size) and the callers (/remove
-        on a rowless path) are rare."""
-        return any(p == path for _, p, _ in self.load_tombstones())
+    def tombstoned_paths(self) -> Set[str]:
+        """Paths named by any current-generation tombstone record — i.e.
+        deleted (pruned or excluded) at some point since the last
+        compaction. One log read per call; the log is bounded by deletions
+        (not corpus size) and the caller (/remove on rowless paths) is
+        rare — it reads once per request, not per path."""
+        return {p for _, p, _ in self.load_tombstones()}
 
     def load_tombstones(self) -> List[Tuple[int, str, bool]]:
         """Current-generation tombstone records in append order as

@@ -526,19 +526,21 @@ class SearchEngine:
         # remembers actually deleting it (in-process tombstone set; the
         # store's log covers prune-then-restart).
         gone = set(removed)
-
-        def _deleted_earlier(p: str) -> bool:
-            if self.index.was_removed(p):
-                return True
-            store = self.index.store
-            return store is not None and store.has_tombstone(p)
-
-        leftovers = [
+        candidates = [
             p
             for p in dict.fromkeys(resolved)
-            if p not in gone
-            and p not in self._excluded
-            and (os.path.exists(p) or _deleted_earlier(p))
+            if p not in gone and p not in self._excluded
+        ]
+        tombstoned: set = set()
+        if any(not os.path.exists(p) for p in candidates):
+            store = self.index.store
+            tombstoned = store.tombstoned_paths() if store is not None else set()
+        leftovers = [
+            p
+            for p in candidates
+            if os.path.exists(p)
+            or self.index.was_removed(p)
+            or p in tombstoned
         ]
         if leftovers:
             self._excluded.update(leftovers)
