@@ -237,6 +237,9 @@ class SearchEngine:
                 global_metrics.gauge(
                     "twostage_fallback_total", float(self.index.twostage_fallbacks)
                 )
+                global_metrics.gauge(
+                    "twostage_sketch_active", float(self.index.sketch_fresh)
+                )
             else:
                 scores, idx = self.index.search(text_emb, k, approx=approx)
         global_metrics.inc("searches")
@@ -319,6 +322,9 @@ class SearchEngine:
                 )
                 global_metrics.gauge(
                     "twostage_fallback_total", float(self.index.twostage_fallbacks)
+                )
+                global_metrics.gauge(
+                    "twostage_sketch_active", float(self.index.sketch_fresh)
                 )
             else:
                 # otherwise ALWAYS the batched feedback program, even for
