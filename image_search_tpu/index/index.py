@@ -230,6 +230,16 @@ def _feedback_search_local(
     return _search_local(slabs, size, q, k, scales, approx, pens)
 
 
+@jax.jit
+def _rocchio_queries(slabs, norms, text_emb, sel_idx, scales=None):
+    """Batched Rocchio refined queries [B, D] (the query-construction half
+    of ``_feedback_search_local``, reusable by the two-stage path). Under a
+    mesh the gather is KB-scale — GSPMD's collectives for it are noise."""
+    return jax.vmap(_rocchio_query, in_axes=(None, None, None, 0, 0))(
+        slabs, scales, norms, text_emb, sel_idx
+    )
+
+
 @lru_cache(maxsize=64)
 def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
     @jax.jit
@@ -805,6 +815,10 @@ class VectorIndex:
             self.twostage_certified += 1
             self._twostage_consec_failures = 0
             return np.asarray(s), np.asarray(i)
+        self._note_twostage_failure()
+        return self.search(queries, k)
+
+    def _note_twostage_failure(self):
         self.twostage_fallbacks += 1
         self._twostage_consec_failures += 1
         if self._twostage_consec_failures >= self.TWOSTAGE_DISABLE_AFTER:
@@ -816,7 +830,89 @@ class VectorIndex:
             )
             with self._lock:
                 self._sketch = None
-        return self.search(queries, k)
+
+    def search_twostage_feedback_batch(
+        self,
+        text_embeddings,
+        selected_paths_list: Sequence[Sequence[str]],
+        k: int = 1000,
+        candidates: int = 4096,
+    ):
+        """Certified two-stage counterpart of ``search_with_feedback_batch``:
+        the Rocchio refined query is just another query vector, so feedback
+        rounds can ride the sketch-bound fast path too. One tiny gather
+        program builds the refined queries (KB-scale reads), then the same
+        two-stage machinery answers them; empty selections degrade to the
+        plain text search BITWISE (query = 0.5*text and the power-of-two
+        factor cancels in l2-normalization), so plain and feedback traffic
+        share one padded program family. Falls back to the fused full-scan
+        feedback program whenever the sketch is absent/stale or the
+        certificate fails — results always equal the full path's.
+
+        Batch and selection counts are padded to pow2 buckets internally
+        (batch pads by REPEATING query 0 with no selections: a zero-padded
+        query would fail the certificate by construction)."""
+        B = len(selected_paths_list)
+        text = jnp.asarray(text_embeddings, jnp.float32).reshape(B, self.dim)
+        with self._lock:
+            sk = self._sketch
+            fresh = sk is not None and sk.built_rows == self._size
+            if self._size == 0 or not fresh:
+                sk = None
+            else:
+                k = self._clamp_k(k)
+                rows_list = [
+                    [self._row[p] for p in sel if p in self._row]
+                    for sel in selected_paths_list
+                ]
+                slabs, norms, scales, pens = self._snapshot()
+                size = jnp.asarray(self._size, jnp.int32)
+                n_pad = sum(s.shape[0] for s in slabs)
+                c = min(max(candidates, k), n_pad - 1)
+                if c < k:
+                    sk = None  # k covers the corpus (see search_twostage)
+        if sk is None:
+            self.twostage_fallbacks += 1
+            return self.search_with_feedback_batch(text_embeddings,
+                                                   selected_paths_list, k)
+        # pow2 padding, same buckets as search_with_feedback_batch
+        m = 8
+        while m < max((len(r) for r in rows_list), default=0):
+            m *= 2
+        Bpad = 8
+        while Bpad < B:
+            Bpad *= 2
+        sel = np.full((Bpad, m), -1, np.int32)
+        for b, r in enumerate(rows_list):
+            sel[b, : len(r)] = r
+        text_j = (
+            jnp.concatenate(
+                [text, jnp.broadcast_to(text[:1], (Bpad - B, self.dim))]
+            )
+            if Bpad > B
+            else text
+        )
+        q = _rocchio_queries(slabs, norms, text_j, jnp.asarray(sel), scales)
+        if self.mesh is not None:
+            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
+                scales, pens
+            )
+        else:
+            from image_search_tpu.index.twostage import twostage_topk
+
+            s, i, cert = twostage_topk(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
+                scales, pens, sk.ub_slack,
+            )
+        if bool(jnp.all(cert)):
+            self.twostage_certified += 1
+            self._twostage_consec_failures = 0
+            return np.asarray(s)[:B], np.asarray(i)[:B]
+        self._note_twostage_failure()
+        return self.search_with_feedback_batch(
+            text_embeddings, selected_paths_list, k
+        )
 
     # -- queries ---------------------------------------------------------------
 

@@ -222,12 +222,27 @@ class SearchEngine:
             p for p in (self._resolve_selection(m) for m in referenced_images) if p is not None
         ]
         approx = self.args.search_approx
+        use_twostage = (
+            getattr(self.args, "search_twostage", False) and not approx
+        )
         with global_metrics.timer("index_search"):
-            if selected:
+            if selected and use_twostage and self.index.sketch_fresh:
+                # feedback rides the certified two-stage path too (the
+                # Rocchio query is just another query vector)
+                scores, idx = self.index.search_twostage_feedback_batch(
+                    text_emb, [selected], k
+                )
+                global_metrics.gauge(
+                    "twostage_certified_total", float(self.index.twostage_certified)
+                )
+                global_metrics.gauge(
+                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
+                )
+            elif selected:
                 scores, idx = self.index.search_with_feedback(
                     text_emb, selected, k, approx=approx
                 )
-            elif getattr(self.args, "search_twostage", False) and not approx:
+            elif use_twostage:
                 # certified exact: sketch-bound pass + rescore, full-scan
                 # fallback when the certificate fails (index/twostage.py)
                 scores, idx = self.index.search_twostage(text_emb, k)
@@ -289,34 +304,23 @@ class SearchEngine:
         ]
         n_feedback = sum(1 for s in sel_lists if s)
         use_twostage = (
-            n_feedback == 0
-            and not self.args.search_approx
+            not self.args.search_approx
             and getattr(self.args, "search_twostage", False)
             and self.index.sketch_fresh
         )
         with global_metrics.timer("index_search"):
             if use_twostage:
-                # all-plain batch + fresh sketch: ride the certified
-                # two-stage path (it takes [B, D] batches natively). Pad to
-                # the same {8,16,32} bucket family by REPEATING query 0 —
-                # zero-padding would fail the certificate by construction
-                # (a zero query's exact scores are 0 while its residual
-                # bound stays positive) and force the full-scan fallback on
-                # every batch. Buckets incl. the fallback program are
-                # precompiled by warm_serving_buckets.
-                B = q_mat.shape[0]
-                Bpad = 8
-                while Bpad < B:
-                    Bpad *= 2
-                q_pad = (
-                    _jnp.concatenate(
-                        [q_mat, _jnp.broadcast_to(q_mat[:1], (Bpad - B, q_mat.shape[1]))]
-                    )
-                    if Bpad > B
-                    else q_mat
+                # fresh sketch: the whole micro-batch — plain AND feedback
+                # — rides the certified two-stage path (the Rocchio query
+                # is just another query vector; empty selections degrade to
+                # the plain search bitwise). Padding to the {8,16,32}
+                # bucket family happens inside, by REPEATING query 0 —
+                # zero-padding would fail the certificate by construction.
+                # Buckets incl. the fallback program are precompiled by
+                # warm_serving_buckets.
+                scores, idx = self.index.search_twostage_feedback_batch(
+                    q_mat, sel_lists, k
                 )
-                scores, idx = self.index.search_twostage(q_pad, k)
-                scores, idx = scores[:B], idx[:B]
                 global_metrics.gauge(
                     "twostage_certified_total", float(self.index.twostage_certified)
                 )
@@ -377,11 +381,14 @@ class SearchEngine:
                 approx=self.args.search_approx,
             )
             if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
-                # warm the batched two-stage buckets too; a zero query's
-                # certificate fails by construction, which also compiles
-                # the plain-search fallback program at this bucket size
-                self.index.search_twostage(
-                    np.zeros((n, self.cfg.projection_dim), np.float32), self.args.k
+                # warm the batched two-stage buckets too (the unified
+                # plain+feedback entry: rocchio gather + bound pass); a
+                # zero query's certificate fails by construction, which
+                # also compiles the full-scan fallback at this bucket size
+                self.index.search_twostage_feedback_batch(
+                    np.zeros((n, self.cfg.projection_dim), np.float32),
+                    [[] for _ in range(n)],
+                    self.args.k,
                 )
         # warmup's by-construction certificate failures say nothing about
         # the corpus spectrum — don't let them trip the adaptive disable

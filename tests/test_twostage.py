@@ -172,9 +172,9 @@ def test_k_covering_whole_corpus_falls_back(rng):
 
 
 def test_search_many_batched_twostage(tmp_path, rng):
-    """All-plain micro-batches must ride the two-stage path (the flag used
-    to be silently inert for batched traffic); feedback batches keep the
-    fused full program; answers match the full scan either way."""
+    """Micro-batches — plain AND feedback — must ride the two-stage path
+    (the flag used to be silently inert for batched traffic); answers
+    match the full scan either way."""
     import os
 
     from PIL import Image
@@ -208,13 +208,94 @@ def test_search_many_batched_twostage(tmp_path, rng):
     assert [r["image_path"] for r in want[0]] == [
         eng._wire_row(int(i))["image_path"] for i in np.asarray(full[1])[0]
     ]
-    # a batch containing feedback keeps the fused program (counters frozen)
+    # a batch containing feedback rides the two-stage path too (the
+    # Rocchio query is just another query vector) and matches the fused
+    # full feedback program
     after = eng.index.twostage_certified + eng.index.twostage_fallbacks
-    res_fb = eng.search_many(
-        ["a photo", "x"], [[res[0][0]["image_path"]], []], k=4
-    )
+    sel = [[res[0][0]["image_path"]], []]
+    res_fb = eng.search_many(["a photo", "x"], sel, k=4)
     assert len(res_fb) == 2
-    assert eng.index.twostage_certified + eng.index.twostage_fallbacks == after
+    assert eng.index.twostage_certified + eng.index.twostage_fallbacks == after + 1
+    abs_sel = [[eng.to_abs_path(p) for p in s] for s in sel]
+    full_fb = eng.index.search_with_feedback_batch(
+        np.stack([
+            np.asarray(eng._cached_text_embed("a photo")),
+            np.asarray(eng._cached_text_embed("x")),
+        ]),
+        abs_sel,
+        4,
+    )
+    want_paths = [
+        [eng._wire_row(int(i))["image_path"] for i in row]
+        for row in np.asarray(full_fb[1])
+    ]
+    assert [[r["image_path"] for r in row] for row in res_fb] == want_paths
+
+
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_feedback_twostage_matches_fused_feedback(rng, quantize):
+    """Rocchio feedback through the certified two-stage path: certified
+    answers equal the fused full-scan feedback program's; empty selections
+    equal the plain two-stage search bitwise."""
+    n, k, c = 20_000, 100, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, quantize=quantize)
+    paths = [f"p{i}" for i in range(n)]
+    idx.add(paths, emb)
+    idx.build_sketch()
+    q = concentrated(rng, 2)
+    sels = [[paths[3], paths[17], paths[400]], [paths[8]]]
+    want = idx.search_with_feedback_batch(q, sels, k)
+    got = idx.search_twostage_feedback_batch(q, sels, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    if quantize == "int8":
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    else:
+        assert_same_answer(got, want)
+    # empty selections == the plain two-stage search bitwise
+    got_plain = idx.search_twostage_feedback_batch(q, [[], []], k, candidates=c)
+    want_plain = idx.search_twostage(q, k, candidates=c)
+    np.testing.assert_array_equal(got_plain[0], want_plain[0])
+    np.testing.assert_array_equal(got_plain[1], want_plain[1])
+    # unknown selection paths are dropped (reference WHERE-IN semantics)
+    got_unknown = idx.search_twostage_feedback_batch(
+        q, [["nope"], []], k, candidates=c
+    )
+    np.testing.assert_array_equal(got_unknown[0], want_plain[0])
+
+
+def test_feedback_twostage_flat_falls_back_exact(rng):
+    n, k = 16_000, 50
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM)
+    paths = [f"p{i}" for i in range(n)]
+    idx.add(paths, emb)
+    idx.build_sketch()
+    q = flat(rng, 2)
+    sels = [[paths[1]], []]
+    want = idx.search_with_feedback_batch(q, sels, k)
+    got = idx.search_twostage_feedback_batch(q, sels, k)
+    assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
+    assert_same_answer(got, want)
+
+
+def test_sharded_feedback_twostage_matches(rng):
+    from image_search_tpu.parallel import make_mesh
+
+    n, k, c = 16_384, 50, 512
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1), quantize="int8")
+    paths = [f"p{i}" for i in range(n)]
+    idx.add(paths, emb)
+    idx.build_sketch()
+    q = concentrated(rng, 2)
+    sels = [[paths[5], paths[123]], []]
+    want = idx.search_with_feedback_batch(q, sels, k)
+    got = idx.search_twostage_feedback_batch(q, sels, k, candidates=c)
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
 
 
 @pytest.mark.parametrize("quantize", [None, "int8"])
