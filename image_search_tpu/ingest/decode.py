@@ -60,6 +60,36 @@ def decode_image(path: str, draft_target: int = _DRAFT_TARGET) -> Optional[np.nd
         return None
 
 
+def decode_image_bytes(
+    data: bytes, draft_target: int = _DRAFT_TARGET
+) -> Optional[np.ndarray]:
+    """Decode in-memory image bytes (e.g. an uploaded query image) to uint8
+    RGB HWC; None on failure. Same native-first/PIL-fallback policy as
+    :func:`decode_image`."""
+    try:
+        from image_search_tpu.ingest import native_decode
+
+        if native_decode.available():
+            arr = native_decode.decode_bytes(data, max_side=draft_target)
+            if arr is not None:
+                return arr
+    except Exception as err:
+        log.debug("native decode of %d bytes failed (%s); PIL fallback", len(data), err)
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            if draft_target and im.format == "JPEG":
+                im.draft("RGB", (draft_target, draft_target))
+            im = im.convert("RGB")
+            return np.asarray(im, dtype=np.uint8)
+    except Exception as err:
+        log.error("Failed to decode %d uploaded bytes: %s", len(data), err)
+        return None
+
+
 class DecodePool:
     """Thread-pool batch decoder: paths -> (kept_paths, arrays).
 

@@ -173,6 +173,30 @@ def build_app(
             return web.Response(status=500)
         return web.json_response({"images": images})
 
+    async def search_image(request: web.Request) -> web.Response:
+        """POST /search_image with raw image bytes -> {"images": [...]}.
+
+        Query-by-image extension endpoint (no reference counterpart): the
+        posted photo is decoded, embedded by the vision tower, and searched
+        like a text query. Optional ``?k=`` overrides the result count.
+        400 on undecodable bytes; body size is capped by the app's 16 MB
+        client_max_size."""
+        data = await request.read()
+        if not data:
+            return web.json_response({"error": "empty body"}, status=400)
+        try:
+            k = int(request.query.get("k", "0")) or None
+        except ValueError:
+            return web.json_response({"error": "bad k"}, status=400)
+        try:
+            images = await asyncio.to_thread(engine.search_by_image, data, k)
+        except ValueError as err:
+            return web.json_response({"error": str(err)}, status=400)
+        except Exception:
+            log.exception("image search failed")
+            return web.Response(status=500)
+        return web.json_response({"images": images})
+
     async def remove(request: web.Request) -> web.Response:
         """POST /remove {"images": ["media/...", ...]} -> {"removed": n}.
 
@@ -340,6 +364,7 @@ def build_app(
         )
 
     app.router.add_post("/search", search)
+    app.router.add_post("/search_image", search_image)
     app.router.add_post("/remove", remove)
     app.router.add_get("/duplicates", duplicates)
     app.router.add_get("/scan", scan)

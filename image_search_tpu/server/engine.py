@@ -262,6 +262,39 @@ class SearchEngine:
             global_metrics.inc("searches_with_feedback")
         return self._format_results(scores, idx)
 
+    def search_by_image(self, image_bytes: bytes, k: Optional[int] = None):
+        """Query-by-image (POST /search_image): decode the uploaded bytes,
+        embed with the vision tower, search the index with the image
+        embedding. Beyond the reference, which can only query by text or by
+        marking prior results — here any photo can BE the query. Rides the
+        certified two-stage path when enabled, like text queries.
+
+        Raises ValueError on undecodable bytes (the handler maps it to 400).
+        """
+        from image_search_tpu.ingest.decode import decode_image_bytes
+
+        k = k or self.args.k
+        arr = decode_image_bytes(image_bytes)
+        if arr is None:
+            raise ValueError("could not decode query image")
+        with global_metrics.timer("image_embed"):
+            # bucket-padded device array; keep the one real row ON DEVICE
+            # (the search dispatch chains on it without a host round-trip)
+            emb = self.embedder.embed_images_async([arr])[:1]
+        approx = self.args.search_approx
+        with global_metrics.timer("index_search"):
+            if (
+                getattr(self.args, "search_twostage", False)
+                and not approx
+                and self.index.sketch_fresh
+            ):
+                scores, idx = self.index.search_twostage(emb, k)
+            else:
+                scores, idx = self.index.search(emb, k, approx=approx)
+        global_metrics.inc("searches")
+        global_metrics.inc("image_searches")
+        return self._format_results(scores, idx)
+
     def search_many(
         self,
         queries: Sequence[str],

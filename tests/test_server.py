@@ -553,6 +553,35 @@ def test_remove_accounting_and_remove_after_prune(tmp_path):
     assert all(r["image_path"] != other for r in eng2.search("x"))
 
 
+def test_search_image_endpoint(client, engine):
+    """POST /search_image: raw image bytes in, wire-format results out; the
+    query photo itself must rank first (identical preprocess+embed);
+    garbage bytes and empty bodies answer 400."""
+    c, loop = client
+
+    async def drive():
+        r = await c.get("/scan")
+        assert r.status == 200
+        fname = "photo_3.jpg"
+        with open(os.path.join(engine.media_dir, fname), "rb") as f:
+            data = f.read()
+        r = await c.post("/search_image", data=data)
+        assert r.status == 200
+        body = await r.json()
+        assert body["images"], body
+        assert body["images"][0]["image_path"] == f"media/{fname}"
+        # k override caps the result count
+        r = await c.post("/search_image?k=3", data=data)
+        assert len((await r.json())["images"]) == 3
+        # undecodable + empty bodies
+        r = await c.post("/search_image", data=b"not an image at all")
+        assert r.status == 400
+        r = await c.post("/search_image", data=b"")
+        assert r.status == 400
+
+    loop.run_until_complete(drive())
+
+
 def test_remove_while_file_absent_still_excludes(tmp_path):
     """Round-3 review: /remove on a path whose file is MISSING from disk
     right now must still record the exclusion — the old os.path.exists
