@@ -43,6 +43,24 @@ async function performSearch() {
   }
 }
 
+// --- query-by-image (POST /search_image; beyond the reference) --------------
+
+async function performImageSearch(file) {
+  if (!file) return;
+  setStatus("searching by image…");
+  try {
+    const res = await fetch("/search_image", { method: "POST", body: file });
+    if (!res.ok) throw new Error(`HTTP ${res.status}`);
+    const data = await res.json();
+    state.view = "search";
+    state.results = L.resultsOf(data);
+    render();
+    setStatus(`${state.results.length} results (image query)`);
+  } catch (err) {
+    setStatus(`image search failed: ${err.message}`);
+  }
+}
+
 // --- scan (app.rs:59-69) ----------------------------------------------------
 
 async function performScan() {
@@ -221,3 +239,15 @@ $("search-input").addEventListener("keydown", (e) => {
 $("scan-btn").addEventListener("click", performScan);
 $("dup-btn").addEventListener("click", performDuplicates);
 $("remove-btn").addEventListener("click", performRemove);
+$("img-btn").addEventListener("click", () => $("image-input").click());
+$("image-input").addEventListener("change", () => {
+  performImageSearch(L.pickedQueryFile($("image-input").files));
+  $("image-input").value = "";
+});
+// drop a photo anywhere to search by it
+window.addEventListener("dragover", (e) => e.preventDefault());
+window.addEventListener("drop", (e) => {
+  e.preventDefault();
+  const f = L.pickedQueryFile(e.dataTransfer && e.dataTransfer.files);
+  if (f) performImageSearch(f);
+});

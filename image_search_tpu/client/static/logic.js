@@ -170,12 +170,24 @@ function dupStatusText(groups) {
   return `${groups.length} duplicate groups`;
 }
 
+// dropped/selected FileList -> the file to query with, or null. MIME
+// filtering is left to the server (it answers 400 for undecodable bytes):
+// drag sources often omit types, and rejecting here would hide the error.
+function pickedQueryFile(files) {
+  if (files) {
+    if (files.length > 0) {
+      return files[0];
+    }
+  }
+  return null;
+}
+
 /* EXPORT (ignored by the test translator) */
 if (typeof window !== "undefined") {
   window.ISXLogic = {
     clampScale, wheelZoom, panMove, transformOf, toggleMark,
     shouldSearch, searchBody, resultsOf, scanStatusText, shouldCloseModal,
     removeBody, afterRemoval, removedStatusText, duplicateGroupsOf,
-    dupStatusText, visibleMarked, groupsAfterRemoval,
+    dupStatusText, visibleMarked, groupsAfterRemoval, pickedQueryFile,
   };
 }

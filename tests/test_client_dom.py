@@ -349,3 +349,53 @@ def test_mousedown_outside_image_does_not_start_drag(browser):
     modal.dispatch("mousedown", make_event(target=modal, clientX=5, clientY=5))
     browser.window.dispatch("mousemove", make_event(clientX=50, clientY=50))
     assert modal_img.style.props["transform"] == "translate(0px, 0px) scale(1)"
+
+
+# -- query-by-image (POST /search_image; beyond the reference) ----------------
+
+
+def test_image_query_via_file_input_and_drop(browser, server):
+    from tools.jsdom import JSArray, JSObject
+
+    server.routes["/search_image"] = Response(
+        200, {"images": [result(5), result(6)]}
+    )
+    # picking a file through the hidden input searches with its bytes
+    inp = browser.el("image-input")
+    inp.files = JSArray(["RAWBYTES"])
+    inp.dispatch("change")
+    assert browser.fetch.calls[-1] == {
+        "url": "/search_image", "method": "POST", "body": "RAWBYTES",
+    }
+    assert len(browser.grid_cards()) == 2
+    assert browser.status_text == "2 results (image query)"
+    assert inp.value == ""  # same file can be re-picked later
+
+    # the visible button forwards to the hidden input's click()
+    clicks = []
+    inp.addEventListener("click", lambda e: clicks.append(1))
+    browser.el("img-btn").dispatch("click")
+    assert clicks == [1]
+
+    # dropping a photo anywhere searches by it
+    server.routes["/search_image"] = Response(200, {"images": [result(7)]})
+    ev = make_event(dataTransfer=JSObject({"files": JSArray(["DROPPED"])}))
+    browser.window.dispatch("drop", ev)
+    assert ev.props["_prevented"]  # the browser must not navigate away
+    assert browser.fetch.calls[-1]["body"] == "DROPPED"
+    assert [c.children[1].src for c in browser.grid_cards()] == ["media/p7.jpg"]
+
+    # a drop without files is ignored (e.g. dropped text)
+    n = len(browser.fetch.calls)
+    browser.window.dispatch("drop", make_event())
+    assert len(browser.fetch.calls) == n
+
+
+def test_image_query_http_error_sets_status(browser, server):
+    from tools.jsdom import JSArray
+
+    server.routes["/search_image"] = Response(400, {"error": "nope"})
+    inp = browser.el("image-input")
+    inp.files = JSArray(["JUNK"])
+    inp.dispatch("change")
+    assert browser.status_text == "image search failed: HTTP 400"

@@ -346,3 +346,10 @@ def test_translator_rejects_undeclared_assignment():
     src = "function f(a) {\n  typoed = 1;\n  return a;\n}\n"
     with pytest.raises(JsTranslationError, match="undeclared"):
         translate(src)
+
+
+def test_picked_query_file(L):
+    f = {"name": "q.jpg", "type": "image/jpeg"}
+    assert L["pickedQueryFile"]([f, {"name": "b.png"}]) is f
+    assert L["pickedQueryFile"]([]) is None
+    assert L["pickedQueryFile"](None) is None

@@ -118,6 +118,11 @@ class Element:
     def getBoundingClientRect(self):
         return self._rect
 
+    def click(self):
+        """Programmatic .click() like the real DOM: fires click listeners."""
+        self.dispatch("click")
+        return undefined
+
     # -- test-side helpers --
     def set_rect(self, left, top, width, height):
         self._rect = JSObject(
@@ -236,7 +241,15 @@ class FetchStub:
             method = str(opts.props.get("method", "GET"))
             raw = opts.props.get("body")
             if isinstance(raw, str):
-                body = _json.loads(raw)
+                # JSON bodies arrive parsed (what handlers assert against);
+                # non-JSON bodies (e.g. raw image bytes for /search_image)
+                # pass through verbatim like a real fetch body would
+                try:
+                    body = _json.loads(raw)
+                except ValueError:
+                    body = raw
+            elif raw is not undefined and raw is not None:
+                body = raw  # File/Blob-like objects pass through untouched
         call = {"url": str(url), "method": method, "body": body}
         self.calls.append(call)
 
@@ -263,6 +276,8 @@ class Browser:
         "scan-btn",
         "dup-btn",
         "remove-btn",
+        "img-btn",
+        "image-input",
         "modal",
         "modal-img",
     )
