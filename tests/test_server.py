@@ -807,3 +807,13 @@ def test_offline_search_tool(tmp_path):
         capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
     )
     assert out2.returncode == 1 and "index is empty" in out2.stderr
+
+    # query-by-image (--image): the query photo itself ranks first
+    out3 = subprocess.run(
+        [_sys.executable, "tools/search.py",
+         os.path.join(media, "photo_2.jpg"), "--image", *common, "--k", "2"],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out3.returncode == 0, out3.stdout + out3.stderr
+    hits3 = [_json.loads(l) for l in out3.stdout.strip().splitlines()]
+    assert hits3[0]["image_path"] == "media/photo_2.jpg"

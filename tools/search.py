@@ -36,13 +36,17 @@ def main(argv=None) -> None:
 
     p = build_parser()
     p.prog = "search"
-    p.add_argument("query", help="free-text query")
+    p.add_argument("query", help="free-text query, or an image file path "
+                   "with --image (query-by-image, like POST /search_image)")
+    p.add_argument("--image", action="store_true",
+                   help="treat the query as an image file path: embed it "
+                        "with the vision tower and search by similarity")
     p.add_argument("--feedback", action="append", default=[],
                    help="marked image path (repeatable) for Rocchio refinement")
     ns = p.parse_args(argv)
     fb = ns.feedback
     query = ns.query
-    base = {k: v for k, v in vars(ns).items() if k not in ("query", "feedback")}
+    base = {k: v for k, v in vars(ns).items() if k not in ("query", "feedback", "image")}
     args = ServerArgs(**base)
 
     from image_search_tpu.server.engine import SearchEngine
@@ -52,7 +56,12 @@ def main(argv=None) -> None:
         print("index is empty — run tools/scan_dir.py or GET /scan first",
               file=sys.stderr)
         raise SystemExit(1)
-    for rank, img in enumerate(engine.search(query, fb), start=1):
+    if ns.image:
+        with open(query, "rb") as f:
+            hits = engine.search_by_image(f.read())
+    else:
+        hits = engine.search(query, fb)
+    for rank, img in enumerate(hits, start=1):
         print(json.dumps({"rank": rank, **img}))
 
 
