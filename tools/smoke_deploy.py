@@ -154,6 +154,15 @@ def main() -> int:
         assert status == 200 and len(raw) > 100, (status, len(raw))
         print(f"[smoke] media serve ok ({len(raw)} bytes)")
 
+        req = urllib.request.Request(
+            base + "/search_image", data=raw, method="POST",
+            headers={"content-type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            qi = json.loads(resp.read())
+        assert qi["images"][0]["image_path"] == first["image_path"], qi
+        print("[smoke] query-by-image ok")
+
         status, raw = http("GET", base + "/", timeout=30)
         assert status == 200 and b"<script" in raw, status
         print("[smoke] SPA shell ok")
