@@ -4,5 +4,13 @@ from image_search_tpu.train.contrastive import (
     make_train_step,
     param_shardings,
 )
+from image_search_tpu.train.eval import evaluate_pairs, retrieval_metrics
 
-__all__ = ["TrainState", "clip_loss", "make_train_step", "param_shardings"]
+__all__ = [
+    "TrainState",
+    "clip_loss",
+    "make_train_step",
+    "param_shardings",
+    "evaluate_pairs",
+    "retrieval_metrics",
+]

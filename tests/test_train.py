@@ -418,3 +418,87 @@ def test_fsdp_tp_step_compiles_without_involuntary_remat(rng, capfd):
     step_fn.lower(state, ids, pix).compile()
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err, err
+
+
+# -- retrieval evaluation (train/eval.py; the reference measures nothing) ----
+
+
+def test_retrieval_metrics_exact_values():
+    from image_search_tpu.train.eval import retrieval_metrics
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(6, 16)).astype(np.float32)
+    # perfectly aligned towers: every true pair is rank 1
+    m = retrieval_metrics(base, base.copy(), ks=(1, 5))
+    assert m["i2t_r@1"] == 1.0 and m["t2i_r@1"] == 1.0
+    assert m["i2t_median_rank"] == 1.0
+
+    # shift texts by one: image i's true caption scores like a random
+    # other row, so R@1 collapses while R@6 is still 1 by definition
+    shifted = np.roll(base, 1, axis=0)
+    m2 = retrieval_metrics(base, shifted, ks=(1, 6))
+    assert m2["i2t_r@1"] < 1.0
+    assert m2["i2t_r@6"] == 1.0 and m2["t2i_r@6"] == 1.0
+
+    # hand-built 3x3 with exactly known ranks: image 0 points mostly at
+    # caption 1, so its true caption is beaten by exactly one candidate
+    # (i2t rank 2); images 1 and 2 are axis-aligned (rank 1). t2i stays
+    # perfect (caption 0's best image is still image 0).
+    img = np.eye(3, dtype=np.float32)
+    img[0] = [0.1, 0.99, 0.0]
+    txt = np.eye(3, dtype=np.float32)
+    m3 = retrieval_metrics(img, txt, ks=(1, 2))
+    assert m3["i2t_r@1"] == pytest.approx(2 / 3)
+    assert m3["i2t_r@2"] == 1.0
+    assert m3["t2i_r@1"] == 1.0
+
+
+def test_retrieval_metrics_tie_pessimism():
+    """A collapsed tower (all captions identical) must score at the
+    BOTTOM, not the top: ties count against the true pair."""
+    from image_search_tpu.train.eval import retrieval_metrics
+
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(8, 16)).astype(np.float32)
+    txt = np.tile(rng.normal(size=(1, 16)).astype(np.float32), (8, 1))
+    m = retrieval_metrics(img, txt, ks=(1,))
+    assert m["i2t_r@1"] == 0.0  # every candidate ties; rank = N
+    assert m["i2t_median_rank"] == 8.0
+
+
+def test_evaluate_pairs_end_to_end(tmp_path):
+    """Tiny random model: decode + embed + score; undecodable images are
+    skipped; all metric keys present and bounded."""
+    from PIL import Image
+
+    from image_search_tpu.models import init_params
+    from image_search_tpu.models.embedder import ClipEmbedder
+    from image_search_tpu.tokenizer import HashTokenizer
+    from image_search_tpu.train.eval import evaluate_pairs
+
+    rng = np.random.default_rng(2)
+    pairs = []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+        ).save(p)
+        pairs.append((p, f"caption number {i}"))
+    bad = str(tmp_path / "bad.jpg")
+    open(bad, "wb").write(b"not an image")
+    pairs.append((bad, "broken"))
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg)
+    emb = ClipEmbedder(
+        params, cfg,
+        tokenizer=HashTokenizer(
+            cfg.text.vocab_size, cfg.text.context_length,
+            eos_id=cfg.text.eos_token_id,
+        ),
+    )
+    metrics, n = evaluate_pairs(emb, pairs, ks=(1, 3), batch_size=4)
+    assert n == 5  # the broken image was skipped
+    for key in ("i2t_r@1", "t2i_r@1", "i2t_r@3", "t2i_r@3"):
+        assert 0.0 <= metrics[key] <= 1.0
+    assert 1.0 <= metrics["i2t_median_rank"] <= 5.0
