@@ -4,7 +4,7 @@ from image_search_tpu.train.contrastive import (
     make_train_step,
     param_shardings,
 )
-from image_search_tpu.train.eval import evaluate_pairs, retrieval_metrics
+from image_search_tpu.train.eval import evaluate_pairs
 
 __all__ = [
     "TrainState",
@@ -12,5 +12,4 @@ __all__ = [
     "make_train_step",
     "param_shardings",
     "evaluate_pairs",
-    "retrieval_metrics",
 ]

@@ -1,9 +1,10 @@
-"""Retrieval evaluation: bidirectional R@k + median rank over aligned
-(image, caption) pairs — the standard CLIP retrieval protocol.
+"""Retrieval evaluation over (image, caption) pair files: decode + embed +
+score with the canonical metrics (utils/eval.py: bidirectional recall@k and
+median rank, pessimistic about ties).
 
 The reference has no model-quality measurement of any kind; fine-tuning
-(train/finetune.py) needs one to show a checkpoint actually improved
-before it is promoted to serving. Usage mirrors finetune's data layout
+(train/finetune.py, ``--eval-dir``) uses this to show a checkpoint actually
+improved before it is promoted to serving. Data layout mirrors finetune's
 (.txt caption sidecars next to images, finetune.find_pairs):
 
     python -m image_search_tpu.train.eval --data-dir ~/pairs \
@@ -19,40 +20,11 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from image_search_tpu.utils.eval import retrieval_metrics
+
 log = logging.getLogger(__name__)
 
-
-def retrieval_metrics(
-    image_emb: np.ndarray,
-    text_emb: np.ndarray,
-    ks: Sequence[int] = (1, 5, 10),
-) -> Dict[str, float]:
-    """Aligned raw [N, D] embeddings (row i of each is a true pair) ->
-    ``{"i2t_r@k", "t2i_r@k", "i2t_median_rank", "t2i_median_rank"}``.
-
-    Ranks are PESSIMISTIC about ties: a candidate scoring exactly equal to
-    the true pair counts as ranked ahead of it, so degenerate embeddings
-    (e.g. a collapsed tower mapping everything to one vector) score at
-    chance instead of R@1 = 1. Cosine similarity; computed in f64 on host
-    — an eval set is thousands of rows, not a corpus."""
-    a = np.asarray(image_emb, np.float64)
-    b = np.asarray(text_emb, np.float64)
-    if a.shape != b.shape or a.ndim != 2 or a.shape[0] == 0:
-        raise ValueError(f"need aligned [N, D] embeddings, got {a.shape} / {b.shape}")
-    a = a / np.linalg.norm(a, axis=1, keepdims=True)
-    b = b / np.linalg.norm(b, axis=1, keepdims=True)
-    sim = a @ b.T                      # [N, N]; true pairs on the diagonal
-    diag = np.diag(sim)
-    # rank = #candidates scoring >= the true pair (self included => >= 1)
-    i2t_rank = np.sum(sim >= diag[:, None], axis=1)
-    t2i_rank = np.sum(sim >= diag[None, :], axis=0)
-    out: Dict[str, float] = {}
-    for k in ks:
-        out[f"i2t_r@{k}"] = float(np.mean(i2t_rank <= k))
-        out[f"t2i_r@{k}"] = float(np.mean(t2i_rank <= k))
-    out["i2t_median_rank"] = float(np.median(i2t_rank))
-    out["t2i_median_rank"] = float(np.median(t2i_rank))
-    return out
+__all__ = ["evaluate_pairs", "retrieval_metrics"]
 
 
 def evaluate_pairs(

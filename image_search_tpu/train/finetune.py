@@ -205,6 +205,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="orbax train-state dir: resume + periodic saves")
     ap.add_argument("--save-every", type=int, default=100)
+    ap.add_argument("--eval-dir", default=None,
+                    help="held-out (image, .txt caption) pairs: retrieval "
+                         "R@k is measured before and after training "
+                         "(train/eval.py) so the run proves an improvement")
     args = ap.parse_args(argv)
 
     import jax
@@ -230,6 +234,22 @@ def main(argv: Optional[List[str]] = None) -> None:
         if (args.mesh_data or args.mesh_model > 1 or len(jax.devices()) > 1)
         else None
     )
+
+    def eval_retrieval(p, tag: str):
+        if not args.eval_dir:
+            return
+        from image_search_tpu.models.embedder import ClipEmbedder
+        from image_search_tpu.train.eval import evaluate_pairs
+
+        eval_pairs = find_pairs(args.eval_dir)
+        if not eval_pairs:
+            log.warning("--eval-dir %s has no pairs; skipping", args.eval_dir)
+            return
+        emb = ClipEmbedder(p, cfg, tokenizer=tokenizer, mesh=mesh)
+        metrics, n = evaluate_pairs(emb, eval_pairs)
+        log.info("retrieval %s (%d pairs): %s", tag, n, metrics)
+
+    eval_retrieval(params, "BEFORE")
     trained, losses = run_finetune(
         params, cfg, tokenizer, pairs,
         mesh=mesh, batch_size=args.batch_size, steps=args.steps,
@@ -238,6 +258,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     save_checkpoint(args.out, trained, cfg)
     log.info("wrote %s (final loss %.4f)", args.out, losses[-1] if losses else float("nan"))
+    eval_retrieval(trained, "AFTER")
 
 
 if __name__ == "__main__":

@@ -18,24 +18,28 @@ def retrieval_metrics(
     ks: Sequence[int] = (1, 5, 10),
 ) -> Dict[str, float]:
     """Symmetric text<->image retrieval metrics over aligned pairs."""
-    img = np.asarray(image_embeddings, np.float32)
-    txt = np.asarray(text_embeddings, np.float32)
+    img = np.asarray(image_embeddings, np.float64)
+    txt = np.asarray(text_embeddings, np.float64)
+    if img.shape != txt.shape or img.ndim != 2 or img.shape[0] == 0:
+        raise ValueError(
+            f"need aligned [N, D] embeddings, got {img.shape} / {txt.shape}"
+        )
     img = img / np.linalg.norm(img, axis=1, keepdims=True)
     txt = txt / np.linalg.norm(txt, axis=1, keepdims=True)
     sims = txt @ img.T  # [N_text, N_image]
-    n = sims.shape[0]
-
-    def ranks(s):  # rank of the true match per row (0-based)
-        order = np.argsort(-s, axis=1)
-        return np.argmax(order == np.arange(n)[:, None], axis=1)
-
-    r_t2i = ranks(sims)
-    r_i2t = ranks(sims.T)
+    diag = np.diag(sims)
+    # PESSIMISTIC tie handling: a candidate scoring exactly equal to the
+    # true match counts as ranked ahead of it (rank = #{sims >= true},
+    # 1-based; self contributes the 1). A collapsed tower mapping every
+    # input to one vector therefore scores at the bottom, not at
+    # recall@1 = 1.0 — argsort-based ranking silently rewarded it.
+    r_t2i = np.sum(sims >= diag[:, None], axis=1)
+    r_i2t = np.sum(sims >= diag[None, :], axis=0)
     out: Dict[str, float] = {
-        "median_rank_t2i": float(np.median(r_t2i) + 1),
-        "median_rank_i2t": float(np.median(r_i2t) + 1),
+        "median_rank_t2i": float(np.median(r_t2i)),
+        "median_rank_i2t": float(np.median(r_i2t)),
     }
     for k in ks:
-        out[f"recall@{k}_t2i"] = float((r_t2i < k).mean())
-        out[f"recall@{k}_i2t"] = float((r_i2t < k).mean())
+        out[f"recall@{k}_t2i"] = float((r_t2i <= k).mean())
+        out[f"recall@{k}_i2t"] = float((r_i2t <= k).mean())
     return out

@@ -424,21 +424,21 @@ def test_fsdp_tp_step_compiles_without_involuntary_remat(rng, capfd):
 
 
 def test_retrieval_metrics_exact_values():
-    from image_search_tpu.train.eval import retrieval_metrics
+    from image_search_tpu.utils.eval import retrieval_metrics
 
     rng = np.random.default_rng(0)
     base = rng.normal(size=(6, 16)).astype(np.float32)
     # perfectly aligned towers: every true pair is rank 1
     m = retrieval_metrics(base, base.copy(), ks=(1, 5))
-    assert m["i2t_r@1"] == 1.0 and m["t2i_r@1"] == 1.0
-    assert m["i2t_median_rank"] == 1.0
+    assert m["recall@1_i2t"] == 1.0 and m["recall@1_t2i"] == 1.0
+    assert m["median_rank_i2t"] == 1.0
 
     # shift texts by one: image i's true caption scores like a random
     # other row, so R@1 collapses while R@6 is still 1 by definition
     shifted = np.roll(base, 1, axis=0)
     m2 = retrieval_metrics(base, shifted, ks=(1, 6))
-    assert m2["i2t_r@1"] < 1.0
-    assert m2["i2t_r@6"] == 1.0 and m2["t2i_r@6"] == 1.0
+    assert m2["recall@1_i2t"] < 1.0
+    assert m2["recall@6_i2t"] == 1.0 and m2["recall@6_t2i"] == 1.0
 
     # hand-built 3x3 with exactly known ranks: image 0 points mostly at
     # caption 1, so its true caption is beaten by exactly one candidate
@@ -448,22 +448,62 @@ def test_retrieval_metrics_exact_values():
     img[0] = [0.1, 0.99, 0.0]
     txt = np.eye(3, dtype=np.float32)
     m3 = retrieval_metrics(img, txt, ks=(1, 2))
-    assert m3["i2t_r@1"] == pytest.approx(2 / 3)
-    assert m3["i2t_r@2"] == 1.0
-    assert m3["t2i_r@1"] == 1.0
+    assert m3["recall@1_i2t"] == pytest.approx(2 / 3)
+    assert m3["recall@2_i2t"] == 1.0
+    assert m3["recall@1_t2i"] == 1.0
 
 
 def test_retrieval_metrics_tie_pessimism():
     """A collapsed tower (all captions identical) must score at the
-    BOTTOM, not the top: ties count against the true pair."""
-    from image_search_tpu.train.eval import retrieval_metrics
+    BOTTOM, not the top: ties count against the true pair (the old
+    argsort ranking silently rewarded collapse with recall@1 = 1)."""
+    from image_search_tpu.utils.eval import retrieval_metrics
 
     rng = np.random.default_rng(1)
     img = rng.normal(size=(8, 16)).astype(np.float32)
     txt = np.tile(rng.normal(size=(1, 16)).astype(np.float32), (8, 1))
     m = retrieval_metrics(img, txt, ks=(1,))
-    assert m["i2t_r@1"] == 0.0  # every candidate ties; rank = N
-    assert m["i2t_median_rank"] == 8.0
+    assert m["recall@1_i2t"] == 0.0  # every candidate ties; rank = N
+    assert m["median_rank_i2t"] == 8.0
+
+
+def test_finetune_cli_with_eval_dir(tmp_path, rng, caplog):
+    """finetune.main: --eval-dir measures retrieval BEFORE and AFTER the
+    run (proof-of-improvement hook); the output checkpoint is written."""
+    import logging as _logging
+
+    from PIL import Image
+
+    from image_search_tpu.models.convert import save_checkpoint
+    from image_search_tpu.train import finetune
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(0), cfg)
+    ckpt = str(tmp_path / "in.safetensors")
+    save_checkpoint(ckpt, params, cfg)
+    for sub in ("data", "eval"):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(8):
+            arr = rng.integers(0, 256, size=(36, 36, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.jpg")
+            (d / f"im{i}.txt").write_text(f"{sub} caption {i}")
+    out = str(tmp_path / "out.safetensors")
+    with caplog.at_level(_logging.INFO):
+        finetune.main([
+            "--data-dir", str(tmp_path / "data"),
+            "--weights", ckpt,
+            "--out", out,
+            "--batch-size", "8",
+            "--steps", "2",
+            "--eval-dir", str(tmp_path / "eval"),
+        ])
+    import os as _os
+
+    assert _os.path.exists(out)
+    text = caplog.text
+    assert "retrieval BEFORE" in text and "retrieval AFTER" in text
+    assert "recall@1_i2t" in text
 
 
 def test_evaluate_pairs_end_to_end(tmp_path):
@@ -499,6 +539,6 @@ def test_evaluate_pairs_end_to_end(tmp_path):
     )
     metrics, n = evaluate_pairs(emb, pairs, ks=(1, 3), batch_size=4)
     assert n == 5  # the broken image was skipped
-    for key in ("i2t_r@1", "t2i_r@1", "i2t_r@3", "t2i_r@3"):
+    for key in ("recall@1_i2t", "recall@1_t2i", "recall@3_i2t", "recall@3_t2i"):
         assert 0.0 <= metrics[key] <= 1.0
-    assert 1.0 <= metrics["i2t_median_rank"] <= 5.0
+    assert 1.0 <= metrics["median_rank_i2t"] <= 5.0
