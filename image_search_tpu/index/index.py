@@ -759,8 +759,65 @@ class VectorIndex:
     def sketch_fresh(self) -> bool:
         return self._sketch is not None and self._sketch.built_rows == self._size
 
+    def _twostage_snapshot(self, k, candidates, selected_paths_list=None):
+        """One lock acquisition for everything the two-stage path needs:
+        ``(sk, k, c, slabs, norms, scales, pens, size, rows_list)``, with
+        ``sk=None`` whenever the fast path can't serve (empty index, stale
+        or dropped sketch, or k so large that a c-candidate stage can't
+        return k rows and could save nothing anyway)."""
+        with self._lock:
+            sk = self._sketch
+            fresh = sk is not None and sk.built_rows == self._size
+            if self._size == 0 or not fresh:
+                return (None,) + (None,) * 8
+            k = self._clamp_k(k)
+            rows_list = None
+            if selected_paths_list is not None:
+                rows_list = [
+                    [self._row[p] for p in sel if p in self._row]
+                    for sel in selected_paths_list
+                ]
+            slabs, norms, scales, pens = self._snapshot()
+            size = jnp.asarray(self._size, jnp.int32)
+            n_pad = sum(s.shape[0] for s in slabs)
+            c = min(max(candidates, k), n_pad - 1)
+            if c < k:
+                return (None,) + (None,) * 8
+            return sk, k, c, slabs, norms, scales, pens, size, rows_list
+
+    def _twostage_run(
+        self, sk, q, k, c, slabs, scales, pens, size, fallback, count_failures
+    ):
+        """Dispatch the bound+rescore program (local or mesh-sharded) and
+        apply the certificate / adaptive-disable bookkeeping. ``fallback``
+        answers when the certificate fails; ``count_failures=False`` keeps
+        by-construction failures (serving warmup's zero queries) out of the
+        consecutive-failure counter."""
+        if self.mesh is not None:
+            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
+                scales, pens
+            )
+        else:
+            from image_search_tpu.index.twostage import twostage_topk
+
+            s, i, cert = twostage_topk(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
+                scales, pens, sk.ub_slack,
+            )
+        if bool(jnp.all(cert)):
+            self.twostage_certified += 1
+            self._twostage_consec_failures = 0
+            return np.asarray(s), np.asarray(i)
+        if count_failures:
+            self._note_twostage_failure()
+        else:
+            self.twostage_fallbacks += 1
+        return fallback()
+
     def search_twostage(
-        self, queries: np.ndarray, k: int = 1000, candidates: int = 4096
+        self, queries: np.ndarray, k: int = 1000, candidates: int = 4096,
+        count_failures: bool = True,
     ):
         """Certified exact top-k: sketch-bound pass + exact rescore; falls
         back to the full scan whenever the certificate fails or the sketch
@@ -778,45 +835,20 @@ class VectorIndex:
         consecutive certificate failures the sketch is dropped (searches
         go straight to the full scan); the next ``build_sketch`` (every
         scan with --search-twostage) re-arms it, so a corpus whose
-        spectrum concentrates as it grows gets re-tried."""
+        spectrum concentrates as it grows gets re-tried.
+        ``count_failures=False`` exempts a call from that accounting
+        (serving warmup probes fail by construction)."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        with self._lock:
-            sk = self._sketch
-            fresh = sk is not None and sk.built_rows == self._size
-            if self._size == 0 or not fresh:
-                sk = None
-            else:
-                k = self._clamp_k(k)
-                slabs, _, scales, pens = self._snapshot()
-                size = jnp.asarray(self._size, jnp.int32)
-                n_pad = sum(s.shape[0] for s in slabs)
-                c = min(max(candidates, k), n_pad - 1)
-                if c < k:
-                    # k covers (nearly) the whole corpus: a c-candidate
-                    # stage can't return k rows (top_k(ex, k) would be
-                    # ill-formed) and could save nothing anyway
-                    sk = None
+        sk, k2, c, slabs, _, scales, pens, size, _ = self._twostage_snapshot(
+            k, candidates
+        )
         if sk is None:
             self.twostage_fallbacks += 1
             return self.search(queries, k)
-        if self.mesh is not None:
-            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
-                slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
-                scales, pens
-            )
-        else:
-            from image_search_tpu.index.twostage import twostage_topk
-
-            s, i, cert = twostage_topk(
-                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
-                scales, pens, sk.ub_slack,
-            )
-        if bool(jnp.all(cert)):
-            self.twostage_certified += 1
-            self._twostage_consec_failures = 0
-            return np.asarray(s), np.asarray(i)
-        self._note_twostage_failure()
-        return self.search(queries, k)
+        return self._twostage_run(
+            sk, q, k2, c, slabs, scales, pens, size,
+            lambda: self.search(queries, k), count_failures,
+        )
 
     def _note_twostage_failure(self):
         self.twostage_fallbacks += 1
@@ -837,6 +869,7 @@ class VectorIndex:
         selected_paths_list: Sequence[Sequence[str]],
         k: int = 1000,
         candidates: int = 4096,
+        count_failures: bool = True,
     ):
         """Certified two-stage counterpart of ``search_with_feedback_batch``:
         the Rocchio refined query is just another query vector, so feedback
@@ -854,23 +887,9 @@ class VectorIndex:
         query would fail the certificate by construction)."""
         B = len(selected_paths_list)
         text = jnp.asarray(text_embeddings, jnp.float32).reshape(B, self.dim)
-        with self._lock:
-            sk = self._sketch
-            fresh = sk is not None and sk.built_rows == self._size
-            if self._size == 0 or not fresh:
-                sk = None
-            else:
-                k = self._clamp_k(k)
-                rows_list = [
-                    [self._row[p] for p in sel if p in self._row]
-                    for sel in selected_paths_list
-                ]
-                slabs, norms, scales, pens = self._snapshot()
-                size = jnp.asarray(self._size, jnp.int32)
-                n_pad = sum(s.shape[0] for s in slabs)
-                c = min(max(candidates, k), n_pad - 1)
-                if c < k:
-                    sk = None  # k covers the corpus (see search_twostage)
+        sk, k2, c, slabs, norms, scales, pens, size, rows_list = (
+            self._twostage_snapshot(k, candidates, selected_paths_list)
+        )
         if sk is None:
             self.twostage_fallbacks += 1
             return self.search_with_feedback_batch(text_embeddings,
@@ -893,26 +912,15 @@ class VectorIndex:
             else text
         )
         q = _rocchio_queries(slabs, norms, text_j, jnp.asarray(sel), scales)
-        if self.mesh is not None:
-            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
-                slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
-                scales, pens
-            )
-        else:
-            from image_search_tpu.index.twostage import twostage_topk
-
-            s, i, cert = twostage_topk(
-                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
-                scales, pens, sk.ub_slack,
-            )
-        if bool(jnp.all(cert)):
-            self.twostage_certified += 1
-            self._twostage_consec_failures = 0
-            return np.asarray(s)[:B], np.asarray(i)[:B]
-        self._note_twostage_failure()
-        return self.search_with_feedback_batch(
-            text_embeddings, selected_paths_list, k
+        s_i = self._twostage_run(
+            sk, q, k2, c, slabs, scales, pens, size,
+            lambda: None, count_failures,
         )
+        if s_i is None:  # certificate failed: fused full-scan feedback
+            return self.search_with_feedback_batch(
+                text_embeddings, selected_paths_list, k
+            )
+        return s_i[0][:B], s_i[1][:B]
 
     # -- queries ---------------------------------------------------------------
 

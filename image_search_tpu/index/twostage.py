@@ -112,13 +112,16 @@ def _sketch_chunk(slab, scale, basis, to_bf16: bool = False):
     ``to_bf16`` stores the sketch in bfloat16: stage 1 then reads HALF the
     bytes per row (128 B vs 256 B at d_s=64). The bound stays rigorous:
     with a = W^T r and a~ = bf16(a),
-        q_s . a  <=  q_s . a~  +  ||q_s|| (||a - a~|| + 2^-9 ||a~||)
-    where the 2^-9 ||a~|| term also absorbs rounding q_s itself to bf16
-    for the MXU dot (|(q_s - bf16(q_s)) . a~| <= 2^-9 ||q_s|| ||a~||).
-    Since ||q_s|| <= 1 for unit queries, the per-chunk MAX of the bracket
-    is a valid additive UB inflation — returned as a scalar so it costs
-    zero extra HBM reads per query (measured bracket ~= 0.004; spend it
-    only when the certificate margin affords it)."""
+        q_s . a  <=  q_s . a~  +  ||q_s|| (||a - a~|| + 2^-8 ||a~||)
+    where the 2^-8 ||a~|| term absorbs rounding q_s itself to bf16 for
+    the MXU dot: bf16 has p = 8 significant bits, so round-to-nearest
+    relative error is <= 2^-p = 2^-8 per element (NOT 2^-(p+1): eps =
+    2^(1-p) = 2^-7, RN error eps/2), giving
+    |(q_s - bf16(q_s)) . a~| <= 2^-8 ||q_s|| ||a~||. The per-chunk MAX of
+    the bracket is a valid additive UB inflation once scaled by ||q_s|| —
+    returned as a scalar so it costs zero extra HBM reads per query
+    (measured bracket ~= 0.006; spend it only when the certificate margin
+    affords it)."""
     r = _dequant_rows(slab, scale)
     s = r @ basis
     nrm2 = jnp.sum(r * r, axis=1)
@@ -130,7 +133,7 @@ def _sketch_chunk(slab, scale, basis, to_bf16: bool = False):
     s16f = s16.astype(jnp.float32)
     delta = jnp.sqrt(jnp.sum((s - s16f) ** 2, axis=1))
     anorm = jnp.sqrt(jnp.sum(s16f * s16f, axis=1))
-    return s16, t, jnp.max(delta + anorm * (2.0 ** -9))
+    return s16, t, jnp.max(delta + anorm * (2.0 ** -8))
 
 
 # per-chunk dequantized-f32 temp cap: 262144 x 768 f32 = 805 MB. Sketching

@@ -60,12 +60,36 @@ def decode_image(path: str, draft_target: int = _DRAFT_TARGET) -> Optional[np.nd
         return None
 
 
+# decoded-pixel cap for UNTRUSTED uploaded bytes (decode_image_bytes): a
+# small crafted file can declare enormous dimensions (a 20k x 20k PNG body
+# fits well under the 16 MB request cap but decodes to 1.2 GB); PIL's own
+# bomb guard only trips near 178M pixels. 64M pixels ~ 0.19 GB decoded —
+# far above any real photo a user would query with.
+MAX_QUERY_PIXELS = 64_000_000
+
+
 def decode_image_bytes(
     data: bytes, draft_target: int = _DRAFT_TARGET
 ) -> Optional[np.ndarray]:
     """Decode in-memory image bytes (e.g. an uploaded query image) to uint8
-    RGB HWC; None on failure. Same native-first/PIL-fallback policy as
-    :func:`decode_image`."""
+    RGB HWC; None on failure or when the declared dimensions exceed
+    :data:`MAX_QUERY_PIXELS` (untrusted input — see the cap's comment).
+    Same native-first/PIL-fallback policy as :func:`decode_image`."""
+    try:
+        import io
+
+        from PIL import Image
+
+        # header-only probe (no pixel decode) to enforce the cap BEFORE
+        # either decoder allocates the output buffer
+        with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size
+        if w * h > MAX_QUERY_PIXELS:
+            log.warning("rejecting %dx%d query image (> %d pixels)",
+                        w, h, MAX_QUERY_PIXELS)
+            return None
+    except Exception:
+        pass  # unreadable header: let the decoders produce the real error
     try:
         from image_search_tpu.ingest import native_decode
 

@@ -207,6 +207,17 @@ class SearchEngine:
 
     # -- operations -------------------------------------------------------------
 
+    def _publish_twostage_gauges(self):
+        global_metrics.gauge(
+            "twostage_certified_total", float(self.index.twostage_certified)
+        )
+        global_metrics.gauge(
+            "twostage_fallback_total", float(self.index.twostage_fallbacks)
+        )
+        global_metrics.gauge(
+            "twostage_sketch_active", float(self.index.sketch_fresh)
+        )
+
     def search(
         self, query: str, referenced_images: Sequence[str] = (), k: Optional[int] = None
     ) -> List[dict]:
@@ -232,12 +243,7 @@ class SearchEngine:
                 scores, idx = self.index.search_twostage_feedback_batch(
                     text_emb, [selected], k
                 )
-                global_metrics.gauge(
-                    "twostage_certified_total", float(self.index.twostage_certified)
-                )
-                global_metrics.gauge(
-                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
-                )
+                self._publish_twostage_gauges()
             elif selected:
                 scores, idx = self.index.search_with_feedback(
                     text_emb, selected, k, approx=approx
@@ -246,15 +252,7 @@ class SearchEngine:
                 # certified exact: sketch-bound pass + rescore, full-scan
                 # fallback when the certificate fails (index/twostage.py)
                 scores, idx = self.index.search_twostage(text_emb, k)
-                global_metrics.gauge(
-                    "twostage_certified_total", float(self.index.twostage_certified)
-                )
-                global_metrics.gauge(
-                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
-                )
-                global_metrics.gauge(
-                    "twostage_sketch_active", float(self.index.sketch_fresh)
-                )
+                self._publish_twostage_gauges()
             else:
                 scores, idx = self.index.search(text_emb, k, approx=approx)
         global_metrics.inc("searches")
@@ -354,15 +352,7 @@ class SearchEngine:
                 scores, idx = self.index.search_twostage_feedback_batch(
                     q_mat, sel_lists, k
                 )
-                global_metrics.gauge(
-                    "twostage_certified_total", float(self.index.twostage_certified)
-                )
-                global_metrics.gauge(
-                    "twostage_fallback_total", float(self.index.twostage_fallbacks)
-                )
-                global_metrics.gauge(
-                    "twostage_sketch_active", float(self.index.sketch_fresh)
-                )
+                self._publish_twostage_gauges()
             else:
                 # otherwise ALWAYS the batched feedback program, even for
                 # all-plain batches: an empty selection degrades to the
@@ -415,17 +405,29 @@ class SearchEngine:
             )
             if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
                 # warm the batched two-stage buckets too (the unified
-                # plain+feedback entry: rocchio gather + bound pass); a
-                # zero query's certificate fails by construction, which
-                # also compiles the full-scan fallback at this bucket size
+                # plain+feedback entry: rocchio gather + bound pass). On a
+                # corpus larger than the candidate budget the zero query's
+                # certificate fails by construction, which also compiles
+                # the full-scan fallback at this bucket size (tiny corpora
+                # certify trivially — every row is a candidate).
+                # count_failures=False: by-construction failures say
+                # nothing about the corpus spectrum — they must not trip
+                # (or be wiped from) the adaptive-disable counter
                 self.index.search_twostage_feedback_batch(
                     np.zeros((n, self.cfg.projection_dim), np.float32),
                     [[] for _ in range(n)],
                     self.args.k,
+                    count_failures=False,
                 )
-        # warmup's by-construction certificate failures say nothing about
-        # the corpus spectrum — don't let them trip the adaptive disable
-        self.index._twostage_consec_failures = 0
+        # search_by_image runs outside the batcher at B=1 — warm its index
+        # program and the vision tower's smallest batch bucket (source-size
+        # buckets beyond the warmed one still compile on first use)
+        zq = np.zeros((1, self.cfg.projection_dim), np.float32)
+        if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
+            self.index.search_twostage(zq, self.args.k, count_failures=False)
+        else:
+            self.index.search(zq, self.args.k, approx=self.args.search_approx)
+        self.embedder.embed_images([np.zeros((512, 512, 3), np.uint8)])
         global_metrics.gauge("serving_warmup_done", 1.0)
         log.info("serving warmup: %d batch buckets compiled", len(sizes))
         return len(sizes)

@@ -320,3 +320,23 @@ def test_scan_with_thumb_cache_embeddings_stable(tmp_path):
         np.testing.assert_array_equal(
             idx1.get_raw_embeddings([p]), idx2.get_raw_embeddings([p])
         )
+
+
+def test_decode_image_bytes_pixel_cap(monkeypatch):
+    """Uploaded query bytes are untrusted: declared dimensions above the
+    cap are rejected BEFORE any decoder allocates the output buffer."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from image_search_tpu.ingest import decode as dec
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.zeros((200, 200, 3), np.uint8)
+    ).save(buf, format="PNG")
+    data = buf.getvalue()
+    assert dec.decode_image_bytes(data) is not None
+    monkeypatch.setattr(dec, "MAX_QUERY_PIXELS", 100 * 100)
+    assert dec.decode_image_bytes(data) is None

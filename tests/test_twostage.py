@@ -368,6 +368,47 @@ def test_bf16_sketch_bound_is_valid_everywhere(rng):
     assert bool(jnp.all(ub[:, :n] >= exact))
 
 
+def test_bf16_bound_survives_rounding_midpoints():
+    """Adversarial construction for the bf16 query-cast term (round-3
+    review): bf16 has p=8 significant bits, so round-to-nearest relative
+    error is up to 2^-8 — components sitting just below rounding midpoints
+    lose ~2^-8 RELATIVE each, and an inflation constant of 2^-9 (eps/2
+    confused with eps) under-covers the dot shortfall and certifies wrong
+    answers. The bound must dominate the exact score even here."""
+    import jax.numpy as jnp
+
+    from image_search_tpu.index.twostage import SLACK, SLACK_T, _sketch_chunk
+
+    d_s = 64
+    basis = np.zeros((DIM, d_s), np.float32)
+    basis[:d_s, :d_s] = np.eye(d_s, dtype=np.float32)
+    # 63 components just BELOW the first bf16 midpoint in [0.125, 0.25)
+    # (grid spacing 2^-10, midpoint 0.125 + 2^-11): each rounds DOWN with
+    # relative error ~2^-8; the last component balances to unit norm
+    t = 0.125 + 2.0 ** -11 - 2.0 ** -18
+    u = np.full(d_s, t, np.float32)
+    u[-1] = np.sqrt(1.0 - 63 * t * t)
+    row = np.zeros(DIM, np.float32)
+    row[:d_s] = u  # unit row, fully inside the sketch subspace
+    slab = jnp.asarray(row[None, :])
+
+    s16, resid, slack = _sketch_chunk(slab, None, jnp.asarray(basis), True)
+    q = jnp.asarray(row)  # query == row: exact cosine score is 1.0
+    q_s = q @ jnp.asarray(basis)
+    qs_norm = float(jnp.sqrt(jnp.sum(q_s * q_s)))
+    q_res = float(jnp.sqrt(jnp.maximum(1.0 - qs_norm**2, 0.0) + SLACK_T))
+    dot = float(
+        jnp.asarray(q_s.astype(jnp.bfloat16), jnp.float32)
+        @ jnp.asarray(s16, jnp.float32)[0]
+    )
+    ub = dot + q_res * float(resid[0]) + qs_norm * float(slack) + SLACK
+    exact = float(q @ slab[0])
+    # the raw bf16 dot really does undershoot by ~2^-7 combined — the
+    # inflation must cover it
+    assert dot < exact - 0.005
+    assert ub >= exact, (ub, exact, dot, float(slack))
+
+
 def test_sharded_bf16_sketch_certified_exact(rng):
     """The mesh-sharded UB pass honors the bf16 inflation too."""
     from image_search_tpu.parallel import make_mesh
@@ -476,3 +517,33 @@ def test_engine_flag_wires_twostage(tmp_path, rng, sketch_dtype):
     # a fresh engine on the same store builds the sketch at startup
     eng2 = SearchEngine(args)
     assert eng2.index.sketch_fresh
+
+
+def test_warmup_probes_do_not_trip_adaptive_disable(rng):
+    """Serving warmup probes the two-stage programs with zero queries and
+    count_failures=False: on a corpus larger than the candidate budget the
+    zero query's certificate fails by construction, and those failures
+    must neither advance nor wipe the adaptive-disable counter (round-3
+    review: warmup with >=8 buckets could disable the sketch mid-loop; a
+    post-loop reset conversely erased genuine live failures)."""
+    n, k, c = 8_000, 20, 512  # n >> c: the zero query CANNOT certify
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    idx._twostage_consec_failures = VectorIndex.TWOSTAGE_DISABLE_AFTER - 1
+    z = np.zeros((8, DIM), np.float32)
+    before_fb = idx.twostage_fallbacks
+    idx.search_twostage(z, k, candidates=c, count_failures=False)
+    idx.search_twostage_feedback_batch(
+        z, [[] for _ in range(8)], k, candidates=c, count_failures=False
+    )
+    assert idx.twostage_fallbacks == before_fb + 2  # still visible as falls
+    assert (
+        idx._twostage_consec_failures
+        == VectorIndex.TWOSTAGE_DISABLE_AFTER - 1
+    )  # untouched: not advanced, not wiped
+    assert idx.sketch_fresh  # never disabled mid-warmup
+    # a genuine counted failure right after still trips the disable
+    idx.search_twostage(flat(rng, 1), k, candidates=c)
+    assert idx._sketch is None

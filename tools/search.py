@@ -57,6 +57,10 @@ def main(argv=None) -> None:
               file=sys.stderr)
         raise SystemExit(1)
     if ns.image:
+        if fb:
+            print("--feedback requires a text query (the image path IS the "
+                  "query; there is no image+feedback search)", file=sys.stderr)
+            raise SystemExit(2)
         with open(query, "rb") as f:
             hits = engine.search_by_image(f.read())
     else:
