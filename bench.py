@@ -166,10 +166,39 @@ def bench_query(k: int = 1000):
     return ms
 
 
-def main() -> None:
-    import jax
+def _init_device(timeout_s: float = 600.0):
+    """Bounded backend init. A wedged axon tunnel hangs ~30 min per attempt
+    before erroring UNAVAILABLE (observed repeatedly); first contact on a
+    HEALTHY tunnel takes up to ~5 min. Probe in a daemon thread so the
+    driver's bench run fails fast with a clear message instead of soaking
+    its whole time budget — exiting before any compile is dispatched is
+    safe (the mid-compile-kill wedge hazard doesn't apply)."""
+    import threading
 
-    dev = jax.devices()[0]
+    out: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            out["dev"] = jax.devices()[0]
+        except Exception as err:  # UNAVAILABLE from a wedged tunnel
+            out["err"] = err
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "dev" in out:
+        return out["dev"]
+    reason = out.get(
+        "err", f"backend init still hung after {timeout_s:.0f}s (tunnel wedged?)"
+    )
+    log(f"FATAL: no usable device: {reason}")
+    raise SystemExit(3)
+
+
+def main() -> None:
+    dev = _init_device()
     log(f"device: {dev} ({dev.platform})")
     ips = bench_embed()
     try:
