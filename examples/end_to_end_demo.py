@@ -11,7 +11,9 @@ Runs fully offline on CPU in ~2 minutes (no weights, no network):
 4. searches by text and reports retrieval quality (recall@5 per query);
 5. runs a Rocchio relevance-feedback round (mark the true positives from
    round 1, re-search) and shows the improvement — the reference's whole
-   product loop (README.md:5-8), measurable.
+   product loop (README.md:5-8), measurable;
+6. queries by IMAGE (any library photo as the query) — beyond the
+   reference.
 
     python examples/end_to_end_demo.py [--steps 150]
 """
@@ -87,7 +89,7 @@ def main():
                     f.write(cap)
                 captions.append(cap)
     n_total = len(captions)
-    print(f"[1/5] toy library: {n_total} images in {media}")
+    print(f"[1/6] toy library: {n_total} images in {media}")
 
     tokenizer = train_bpe(captions, vocab_size=500, context_length=16)
     # the model's eos/vocab MUST match the tokenizer's (encode_text pools at
@@ -127,13 +129,13 @@ def main():
         state, metrics = step_fn(state, ids, pixels)
         losses.append(float(metrics["loss"]))
     params = state.params
-    print(f"[2/5] trained {args.steps} steps: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+    print(f"[2/6] trained {args.steps} steps: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
 
     embedder = ClipEmbedder(params, cfg, tokenizer=tokenizer)
     store = EmbeddingStore(os.path.join(root, "index"), cfg.projection_dim)
     index = VectorIndex(cfg.projection_dim, store=store, quantize="int8")
     stats = scan_directory(embedder, index, media, chunk_size=32)
-    print(f"[3/5] scanned: {stats.embedded} embedded at {stats.images_per_sec:.0f} img/s")
+    print(f"[3/6] scanned: {stats.embedded} embedded at {stats.images_per_sec:.0f} img/s")
 
     def positives(query):
         color, shape = query.split()[-2], query.split()[-1]
@@ -157,9 +159,27 @@ def main():
             got2 = set(index.paths_for(idx2[0]))
             refined_recall.append(len(got2 & pos) / k)
 
-    print(f"[4/5] text search precision@{k}:      {np.mean(r1_recall):.2f}")
-    print(f"[5/5] after one feedback round:     {np.mean(refined_recall):.2f}")
+    print(f"[4/6] text search precision@{k}:      {np.mean(r1_recall):.2f}")
+    print(f"[5/6] after one feedback round:     {np.mean(refined_recall):.2f}")
     assert np.mean(refined_recall) >= np.mean(r1_recall) - 1e-9
+
+    # query-by-image: any library photo can BE the query. The library has 12
+    # near-duplicates per class, and rows are int8-quantized, so exact
+    # self-rank-1 is not guaranteed — what IS guaranteed is that the self row
+    # lands in the duplicate cluster (top-12) and the top hit shares the
+    # query's class.
+    from image_search_tpu.ingest.decode import decode_image as _decode
+
+    probe_path = index.paths[0]
+    probe_cls = os.path.basename(probe_path).rsplit("_", 1)[0]
+    probe_emb = embedder.embed_images([_decode(probe_path)])
+    _, idx3 = index.search(probe_emb, k=12)
+    hits = index.paths_for(idx3[0])
+    rank = hits.index(probe_path) + 1 if probe_path in hits else None
+    top_cls = os.path.basename(hits[0]).rsplit("_", 1)[0]
+    assert rank is not None, f"query photo missing from its own top-12: {hits[:3]}"
+    assert top_cls == probe_cls, f"top hit {hits[0]} is not class {probe_cls}"
+    print(f"[6/6] query-by-image: query photo self-rank {rank}/12, top hit same class")
     print("demo complete — feedback round did not degrade precision")
 
 
