@@ -39,6 +39,24 @@ vectors, so UB is inflated by ``SLACK`` (1e-4) and residual norms by
 candidates / fails the certificate more often — never drops a true
 top-k row.
 
+TPU matmul precision (round-3 soundness review): XLA's DEFAULT f32 dot on
+TPU rounds operands to bf16 (relative error up to 2^-8 each — 40x SLACK),
+which breaks the analysis above in two places:
+  1. The sketch-side matmuls (build ``r @ W``, query ``q @ W``, and the
+     f32 stage-1 UB dot) must be f32-accurate for the decomposition
+     identity to hold: they run at ``Precision.HIGHEST`` (exact bf16
+     multi-pass). All three are HBM-read- or shape-bound, so the extra
+     MXU passes are free; the bf16-sketch stage-1 dot instead charges its
+     operand roundings to ``ub_slack`` (see ``_sketch_chunk``).
+  2. The FULL SCAN the certificate promises to match keeps DEFAULT
+     precision (that IS the serving path): for f32/bf16 slabs its scores
+     can differ from the real dot by up to ~2^-8 * ||q|| * ||r|| per
+     rounded operand. ``FULL_SCAN_SLACK[dtype]`` (3x the per-route cast
+     bound: UB-vs-real on non-candidates + rescore-vs-full-scan route
+     divergence on candidates) is therefore SUBTRACTED from tau in the
+     certificate. int8 slabs charge zero — the integer dot is bitwise
+     identical on both routes.
+
 When it wins: real image embeddings have sharply decaying spectra, so
 t_i (the energy outside the top-64 directions) is small and the bound is
 tight. On spectrally flat (random) corpora t_i ~ q_t ~ 1, every UB
@@ -63,6 +81,23 @@ SLACK = 1e-4   # UB inflation: bounds f32 reduction error of either route
 SLACK_T = 1e-5  # residual-norm-squared inflation before the sqrt
 DEFAULT_SKETCH_DIM = 64
 DEFAULT_CANDIDATES = 4096
+HIGHEST = jax.lax.Precision.HIGHEST  # f32-accurate dots on TPU (module doc)
+
+# Certificate deduction for the full scan's DEFAULT-precision operand
+# rounding (module doc item 2). Rows are l2-normalized (||r|| <= 1 + 2^-8
+# after bf16 storage rounding) and ||q|| = 1, so the full scan's score can
+# exceed the real dot the UB bounds by the operand-cast bound: bf16 slabs
+# round only the query (<= 2^-8 * (1+2^-8)); f32 slabs round both operands
+# (<= 2^-8 + 2^-8 * (1+2^-8)). The rescore rounds operands IDENTICALLY
+# (deterministic elementwise bf16 casts of the same values — XLA applies
+# one DEFAULT dot policy per backend), so rescore-vs-full-scan divergence
+# on candidates is reduction-order only; 5e-4 covers it plus headroom
+# (gamma_768 ~ 9.2e-5). int8 slabs charge zero: bitwise-equal integer dot.
+FULL_SCAN_SLACK = {
+    "int8": 0.0,
+    "bfloat16": (2.0 ** -8) * (1.0 + 2.0 ** -8) + 5e-4,
+    "float32": (2.0 ** -8) * (2.0 + 2.0 ** -8) + 5e-4,
+}
 
 
 class SketchState(NamedTuple):
@@ -123,7 +158,10 @@ def _sketch_chunk(slab, scale, basis, to_bf16: bool = False):
     (measured bracket ~= 0.006; spend it only when the certificate margin
     affords it)."""
     r = _dequant_rows(slab, scale)
-    s = r @ basis
+    # HIGHEST: the decomposition identity needs s = W^T r to f32 accuracy —
+    # TPU DEFAULT precision would silently put ~2^-8 error into every
+    # sketch component AND make nrm2-ss underestimate the true residual
+    s = jnp.matmul(r, basis, precision=HIGHEST)
     nrm2 = jnp.sum(r * r, axis=1)
     ss = jnp.sum(s * s, axis=1)
     t = jnp.sqrt(jnp.maximum(nrm2 - ss, 0.0) + SLACK_T)
@@ -332,6 +370,7 @@ def sharded_twostage_topk(
     local_k = min(k, local_c)
     slab_starts = np.concatenate([[0], np.cumsum(slab_rows)])[:-1]
     is_int8 = slabs[0].dtype == jnp.int8
+    fs_slack = FULL_SCAN_SLACK[jnp.dtype(slabs[0].dtype).name]
 
     in_specs = [
         tuple(P(DATA_AXIS, None) for _ in slabs),
@@ -367,7 +406,7 @@ def sharded_twostage_topk(
 
         q = _l2(queries_r.astype(jnp.float32))
         qt_vec, qi, qs = _exact_query_vector(q, is_int8)
-        q_s = qt_vec @ basis_r
+        q_s = jnp.matmul(qt_vec, basis_r, precision=HIGHEST)
         qs2 = jnp.sum(q_s * q_s, 1)
         q_res = jnp.sqrt(
             jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
@@ -379,9 +418,13 @@ def sharded_twostage_topk(
         qsk = q_s.astype(sk_l[0].dtype)
         for b, sk in enumerate(sk_l):
             nb_local = sk.shape[0]
+            # HIGHEST: f32 sketches need the f32-accurate dot the bound
+            # assumes (read-bound op — extra MXU passes are free); for bf16
+            # sketches the operand roundings are charged to ub_slack and
+            # HIGHEST is a no-op on bf16-native inputs
             dot = jax.lax.dot_general(
                 qsk, sk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
             )
             ub = dot + q_res[:, None] * rs_l[b][None, :] + infl[:, None]
             if pens_l is not None:
@@ -425,7 +468,7 @@ def sharded_twostage_topk(
         m_v, m_pos = jax.lax.top_k(all_v, kk)
         m_g = jnp.take_along_axis(all_g, m_pos, axis=1)
         tau = m_v[:, kk - 1]
-        certified = rest_max <= tau
+        certified = rest_max <= tau - fs_slack
         return m_v, m_g, certified
 
     return _search(*args)
@@ -452,9 +495,10 @@ def twostage_topk(
     from image_search_tpu.ops.topk import exact_topk
 
     is_int8 = slabs[0].dtype == jnp.int8
+    fs_slack = FULL_SCAN_SLACK[jnp.dtype(slabs[0].dtype).name]
     q = _l2(queries.astype(jnp.float32))
     qt_vec, qi, qs = _exact_query_vector(q, is_int8)
-    q_s = qt_vec @ basis                                   # [B, d_s]
+    q_s = jnp.matmul(qt_vec, basis, precision=HIGHEST)     # [B, d_s]
     qs2 = jnp.sum(q_s * q_s, 1)
     q_res = jnp.sqrt(
         jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
@@ -468,8 +512,11 @@ def twostage_topk(
     qsk = q_s.astype(sketches[0].dtype)  # bf16 dot for bf16 sketches
     for i, sk in enumerate(sketches):
         n = sk.shape[0]
+        # HIGHEST: see the sharded path — required for f32 sketches, no-op
+        # for bf16 ones (whose roundings ub_slack covers)
         dot = jax.lax.dot_general(
-            qsk, sk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qsk, sk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
         )
         ub = dot + q_res[:, None] * resid[i][None, :] + infl[:, None]
         if pens is not None:
@@ -495,5 +542,5 @@ def twostage_topk(
     vals, pos = jax.lax.top_k(ex, k)
     ids = jnp.take_along_axis(cand, pos, axis=1)
     tau = vals[:, k - 1]
-    certified = rest_max <= tau
+    certified = rest_max <= tau - fs_slack
     return vals, ids, certified

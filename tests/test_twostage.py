@@ -547,3 +547,43 @@ def test_warmup_probes_do_not_trip_adaptive_disable(rng):
     # a genuine counted failure right after still trips the disable
     idx.search_twostage(flat(rng, 1), k, candidates=c)
     assert idx._sketch is None
+
+
+def test_full_scan_slack_covers_default_precision_cast():
+    """Round-3 soundness review: XLA's DEFAULT f32 dot on TPU rounds both
+    operands to bf16 (relative error up to 2^-8 EACH — 40x SLACK), so the
+    serving full scan's score of a non-candidate can rise ABOVE the
+    real-arithmetic dot the UB bounds. FULL_SCAN_SLACK must dominate that
+    rise. Adversarial construction: every component sits just ABOVE a bf16
+    rounding midpoint, so both query and row round UP by ~2^-8 relative —
+    the worst case for the certificate."""
+    import jax.numpy as jnp
+
+    from image_search_tpu.index.twostage import FULL_SCAN_SLACK
+
+    d = 768
+    # bf16 grid spacing in [0.03125, 0.0625) is 2^-12. Pick the grid point
+    # nearest 1/sqrt(768) (so the vector is near-unit) and sit a hair above
+    # its upward rounding midpoint: every component rounds UP with relative
+    # error ~2^-8 — in BOTH operands, compounding to ~2^-7 on the dot
+    t = 0.03125 + 19 * 2.0 ** -12 + 2.0 ** -13 + 2.0 ** -20
+    v = np.full(d, t, np.float32)
+    assert abs(np.linalg.norm(v) - 1.0) < 0.003  # near-unit by construction
+    q = v.copy()
+    r = v.copy()
+
+    real = float(np.float64(q) @ np.float64(r))  # what the UB provably bounds
+
+    q16 = np.asarray(jnp.asarray(q).astype(jnp.bfloat16), np.float32)
+    r16 = np.asarray(jnp.asarray(r).astype(jnp.bfloat16), np.float32)
+    sim_f32_slab = float(q16 @ r16)   # DEFAULT f32 dot: both operands cast
+    sim_bf16_slab = float(q16 @ r16)  # bf16 slab: row already stored as r16
+
+    # the adversarial rise is real (far beyond SLACK=1e-4)...
+    assert sim_f32_slab - real > 2.0 ** -9
+    # ...and the per-dtype certificate deduction covers it with the
+    # reduction-error headroom intact
+    assert sim_f32_slab - real < FULL_SCAN_SLACK["float32"] - 2e-4
+    real_vs_stored = float(np.float64(q) @ np.float64(r16))
+    assert sim_bf16_slab - real_vs_stored < FULL_SCAN_SLACK["bfloat16"] - 2e-4
+    assert FULL_SCAN_SLACK["int8"] == 0.0  # integer dot is bitwise on both routes
