@@ -299,26 +299,10 @@ def sketch_slab_sharded(slab, scale, basis, mesh, to_bf16: bool = False):
         check_rep=False,
     )
     def _build(slab_l, basis_r, *rest):
-        # chunk the per-device dequantized-f32 temp exactly like the
-        # unsharded sketch_slab: a 1M-row local shard would otherwise
-        # materialize a 3 GB f32 temp (the OOM SKETCH_CHUNK_ROWS bounds)
+        # sketch_slab's chunking bounds the per-device dequantized-f32 temp
+        # (a 1M-row local shard would otherwise materialize a 3 GB f32 temp)
         sc_l = rest[0] if rest else None
-        n_l = slab_l.shape[0]
-        g = SKETCH_CHUNK_ROWS
-        if n_l <= g:
-            s, t, d = _sketch_chunk(slab_l, sc_l, basis_r, to_bf16)
-        else:
-            parts_s, parts_t, slacks = [], [], []
-            for off in range(0, n_l, g):
-                end = min(off + g, n_l)
-                sc = None if sc_l is None else sc_l[off:end]
-                s, t, d = _sketch_chunk(slab_l[off:end], sc, basis_r, to_bf16)
-                parts_s.append(s)
-                parts_t.append(t)
-                slacks.append(d)
-            s = jnp.concatenate(parts_s, axis=0)
-            t = jnp.concatenate(parts_t, axis=0)
-            d = jnp.max(jnp.stack(slacks))
+        s, t, d = sketch_slab(slab_l, sc_l, basis_r, to_bf16)
         return s, t, jax.lax.pmax(d, DATA_AXIS)
 
     return _build(*args)
@@ -469,6 +453,12 @@ def sharded_twostage_topk(
         m_g = jnp.take_along_axis(all_g, m_pos, axis=1)
         tau = m_v[:, kk - 1]
         certified = rest_max <= tau - fs_slack
+        if kk < k:
+            # the merged pool cannot even HOLD k rows (tiny shards:
+            # n_shards*local_k < k) — the [B, kk] result can never equal
+            # the full scan's [B, k]; force the fallback (static shapes,
+            # so this is a compile-time constant, not a traced branch)
+            certified = jnp.zeros_like(certified)
         return m_v, m_g, certified
 
     return _search(*args)

@@ -89,12 +89,17 @@ def decode_image_bytes(
                         w, h, MAX_QUERY_PIXELS)
             return None
     except Exception:
-        pass  # unreadable header: let the decoders produce the real error
+        # unreadable header: let the decoders produce the real error — the
+        # native path enforces the pixel cap itself via its own probe, so
+        # a PIL-unparseable header cannot dodge the bomb guard
+        pass
     try:
         from image_search_tpu.ingest import native_decode
 
         if native_decode.available():
-            arr = native_decode.decode_bytes(data, max_side=draft_target)
+            arr = native_decode.decode_bytes(
+                data, max_side=draft_target, max_pixels=MAX_QUERY_PIXELS
+            )
             if arr is not None:
                 return arr
     except Exception as err:

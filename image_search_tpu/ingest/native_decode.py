@@ -74,12 +74,19 @@ def available() -> bool:
     return _lib is not None
 
 
-def decode_bytes(data: bytes, max_side: int = 0) -> Optional[np.ndarray]:
+def decode_bytes(
+    data: bytes, max_side: int = 0, max_pixels: int = 0
+) -> Optional[np.ndarray]:
     """JPEG/PNG bytes -> uint8 RGB HWC array, or None if the native path
     can't handle them (caller falls back to PIL).
 
     max_side > 0 enables JPEG DCT-domain downscaling to the smallest 1/2^k
     scale whose longest edge is still >= max_side (PIL ``draft`` semantics).
+    max_pixels > 0 rejects (returns None) any file whose decoded output
+    would exceed that many pixels — enforced HERE, after the header-only
+    probe and before the output buffer is allocated, so untrusted bytes
+    whose header PIL cannot even parse still cannot trigger a
+    decompression-bomb allocation (round-3 review).
     """
     if _lib is None:
         return None
@@ -87,6 +94,8 @@ def decode_bytes(data: bytes, max_side: int = 0) -> Optional[np.ndarray]:
     h = ctypes.c_int()
     fmt = _lib.isx_probe(data, len(data), max_side, ctypes.byref(w), ctypes.byref(h))
     if fmt <= 0:
+        return None
+    if max_pixels and w.value * h.value > max_pixels:
         return None
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = _lib.isx_decode(

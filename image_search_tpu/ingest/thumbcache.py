@@ -102,10 +102,27 @@ class ThumbCache:
             im.convert("RGB").save(buf, "JPEG", quality=QUALITY)
             data = buf.getvalue()
             os.makedirs(os.path.dirname(entry), exist_ok=True)
-            tmp = entry + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, entry)  # atomic: readers never see a torn tile
+            # unique tmp name: concurrent puts of the SAME image (live /scan
+            # plus an offline scan_dir/finetune sharing one cache dir) must
+            # not interleave writes into one tmp file and publish a torn
+            # tile (round-3 review) — each writer renames its own whole file
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(entry),
+                prefix=os.path.basename(entry) + ".",
+                suffix=".tmp",
+            )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, entry)  # atomic: readers never see a torn tile
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
             self._sweep_stale(path, entry)
             with Image.open(io.BytesIO(data)) as im2:
                 return np.asarray(im2.convert("RGB"), dtype=np.uint8)

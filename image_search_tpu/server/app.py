@@ -277,6 +277,19 @@ def build_app(
             return web.json_response({"error": "threshold must be in (0, 1]"}, status=400)
         if request.query.get("async") in ("1", "true"):
             if dup_job and not dup_job["task"].done():
+                # single-flight join is only correct at the SAME threshold —
+                # silently handing back a job computed at a different one
+                # would answer the wrong question (round-3 review)
+                if dup_job["threshold"] != threshold:
+                    return web.json_response(
+                        {
+                            "error": "duplicate scan already running at "
+                                     f"threshold {dup_job['threshold']}",
+                            "job": dup_job["id"],
+                            "threshold": dup_job["threshold"],
+                        },
+                        status=409,
+                    )
                 return web.json_response(
                     {
                         "job": dup_job["id"],
@@ -308,6 +321,12 @@ def build_app(
             }
             dup_job.clear()
             dup_job.update(job)
+            # the gauge still holds the PREVIOUS scan's final value (1.0)
+            # until the worker thread starts — zero it now so a fresh job
+            # never polls as "running, progress 1.0" (round-3 review)
+            from image_search_tpu.utils.metrics import global_metrics
+
+            global_metrics.gauge("duplicate_scan_progress", 0.0)
             return web.json_response(
                 {
                     "job": job["id"],

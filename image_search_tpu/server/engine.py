@@ -75,6 +75,7 @@ class SearchEngine:
         # row -> wire-dict template memo (see _wire_row); sparse, filled
         # per returned row (racing threads write identical values)
         self._wire_cache: dict = {}
+        self.WIRE_CACHE_MAX = 1_000_000  # ~0.4 GB worst case, then cleared
         self.thumb_cache = None
         if getattr(args, "thumb_cache", ""):
             from image_search_tpu.ingest.thumbcache import ThumbCache
@@ -441,11 +442,16 @@ class SearchEngine:
         first request for tens of seconds at 10M rows and pin GBs for rows
         no query ever returns. ``index.paths`` rows are append-only
         (tombstones mask in place; compaction is offline), so memoized
-        entries never go stale; racing threads write identical values."""
+        entries never go stale; racing threads write identical values.
+        Bounded: at ~400 B/entry an uncapped memo approaches corpus size
+        (GBs at 10M rows) under long-lived diverse traffic — when full it
+        is simply cleared (entries are pure recomputable templates)."""
         d = self._wire_cache.get(row)
         if d is None:
             media = self.to_media_path(self.index.paths[row])
             d = {"id": urllib.parse.quote(media, safe=""), "image_path": media}
+            if len(self._wire_cache) >= self.WIRE_CACHE_MAX:
+                self._wire_cache.clear()
             self._wire_cache[row] = d
         return d
 

@@ -209,6 +209,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                     help="held-out (image, .txt caption) pairs: retrieval "
                          "R@k is measured before and after training "
                          "(train/eval.py) so the run proves an improvement")
+    ap.add_argument("--thumb-cache", default="",
+                    help="persistent decoded-tile cache dir (shareable with "
+                         "the server's --thumb-cache): epochs after the "
+                         "first skip full decode entirely")
     args = ap.parse_args(argv)
 
     import jax
@@ -250,11 +254,17 @@ def main(argv: Optional[List[str]] = None) -> None:
         log.info("retrieval %s (%d pairs): %s", tag, n, metrics)
 
     eval_retrieval(params, "BEFORE")
+    thumb_cache = None
+    if args.thumb_cache:
+        from image_search_tpu.ingest.thumbcache import ThumbCache
+
+        thumb_cache = ThumbCache(args.thumb_cache)
     trained, losses = run_finetune(
         params, cfg, tokenizer, pairs,
         mesh=mesh, batch_size=args.batch_size, steps=args.steps,
         learning_rate=args.lr, remat=args.remat, fsdp=args.fsdp,
         checkpoint_dir=args.checkpoint_dir, save_every=args.save_every,
+        thumb_cache=thumb_cache,
     )
     save_checkpoint(args.out, trained, cfg)
     log.info("wrote %s (final loss %.4f)", args.out, losses[-1] if losses else float("nan"))

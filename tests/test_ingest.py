@@ -340,3 +340,54 @@ def test_decode_image_bytes_pixel_cap(monkeypatch):
     assert dec.decode_image_bytes(data) is not None
     monkeypatch.setattr(dec, "MAX_QUERY_PIXELS", 100 * 100)
     assert dec.decode_image_bytes(data) is None
+
+
+def test_native_decode_bytes_enforces_pixel_cap():
+    """The cap is enforced inside the native path itself (post-probe,
+    pre-allocation) — so bytes whose header PIL cannot parse still cannot
+    trigger a bomb allocation (round-3 review)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from image_search_tpu.ingest import native_decode
+
+    if not native_decode.available():
+        import pytest
+
+        pytest.skip("native decoder not built")
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((64, 48, 3), np.uint8)).save(buf, format="PNG")
+    data = buf.getvalue()
+    assert native_decode.decode_bytes(data).shape == (64, 48, 3)
+    assert native_decode.decode_bytes(data, max_pixels=64 * 48) is not None
+    assert native_decode.decode_bytes(data, max_pixels=64 * 48 - 1) is None
+
+
+def test_decode_image_bytes_cap_survives_pil_header_failure(monkeypatch):
+    """A PIL-unparseable header used to skip the cap entirely while the
+    native decoder still ran uncapped; the cap must hold regardless."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+    from PIL import Image
+
+    from image_search_tpu.ingest import decode as dec
+    from image_search_tpu.ingest import native_decode
+
+    if not native_decode.available():
+        import pytest
+
+        pytest.skip("native decoder not built")
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((200, 200, 3), np.uint8)).save(buf, format="PNG")
+    data = buf.getvalue()
+
+    def boom(*a, **k):
+        raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(PIL.Image, "open", boom)
+    monkeypatch.setattr(dec, "MAX_QUERY_PIXELS", 100 * 100)
+    assert dec.decode_image_bytes(data) is None  # native cap, PIL blind

@@ -657,10 +657,20 @@ def test_duplicates_async_job_flow(tmp_path):
             job = body["job"]
             assert body["state"] == "running" and body["poll"].endswith(job)
 
-            # joining: a second async request returns the SAME job
-            r2 = await c.get("/duplicates", params={"async": "1"})
+            # joining: a second async request AT THE SAME THRESHOLD returns
+            # the SAME job ...
+            r2 = await c.get(
+                "/duplicates", params={"threshold": "0.999", "async": "1"}
+            )
             assert r2.status == 202
             assert (await r2.json())["job"] == job
+            # ... but a DIFFERENT threshold must not silently receive a job
+            # computed at the wrong one (round-3 review): 409 names the
+            # running job and its threshold
+            r2b = await c.get("/duplicates", params={"async": "1"})
+            assert r2b.status == 409
+            conflict = await r2b.json()
+            assert conflict["job"] == job and conflict["threshold"] == 0.999
 
             assert (await c.get("/duplicates", params={"job": "nope"})).status == 404
 
@@ -677,10 +687,16 @@ def test_duplicates_async_job_flow(tmp_path):
             assert final["state"] == "done"
             assert final["groups"] == [["media/copy.png", "media/orig.png"]]
 
-            # job finished: a NEW async request starts a fresh job
+            # job finished: a NEW async request starts a fresh job, and the
+            # progress gauge is RESET at creation (a fresh job must not
+            # poll as "running, progress 1.0" from the previous scan)
             r4 = await c.get("/duplicates", params={"threshold": "0.999", "async": "1"})
             assert r4.status == 202
-            assert (await r4.json())["job"] != job
+            job4 = (await r4.json())["job"]
+            assert job4 != job
+            r5 = await c.get("/duplicates", params={"job": job4})
+            if r5.status == 202:  # almost surely: the scan sleeps 0.3 s
+                assert (await r5.json())["progress"] < 1.0
         finally:
             await c.close()
 

@@ -587,3 +587,25 @@ def test_full_scan_slack_covers_default_precision_cast():
     real_vs_stored = float(np.float64(q) @ np.float64(r16))
     assert sim_bf16_slab - real_vs_stored < FULL_SCAN_SLACK["bfloat16"] - 2e-4
     assert FULL_SCAN_SLACK["int8"] == 0.0  # integer dot is bitwise on both routes
+
+
+def test_sharded_twostage_k_exceeding_merge_pool_falls_back(rng):
+    """Round-3 review: with tiny per-shard row counts, the sharded merge
+    pool (n_shards * local_k) can hold FEWER than k rows; the kernel used
+    to return a silently short [B, kk<k] result that could still certify.
+    It must force the fallback instead, so the caller always answers with
+    the full scan's k rows."""
+    from image_search_tpu.parallel import make_mesh
+
+    n = 4_096  # one append block -> 512 rows/shard on 8 devices
+    k = 4_090  # > 8 * (512 - 1) = 4088 merged columns
+    emb = concentrated(rng, n)
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1))
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    q = concentrated(rng, 2)
+    want = idx.search(q, k)
+    got = idx.search_twostage(q, k, candidates=k + 5)
+    assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
+    assert got[0].shape == (2, k) and got[1].shape == (2, k)
+    assert_same_answer(got, want)
