@@ -38,10 +38,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 NEG_INF = float(np.finfo(np.float32).min)
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "attn_pipeline_bench.json")
 # ISX_INTERP=1: run tiny shapes in pallas interpret mode on CPU — correctness
-# gate before spending a TPU session (no timing validity)
+# gate before spending a TPU session (no timing validity — written to a
+# separate .interp.json so CPU numbers can never be misread as TPU ones)
 INTERPRET = os.environ.get("ISX_INTERP") == "1"
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "attn_pipeline_bench.interp.json" if INTERPRET else "attn_pipeline_bench.json",
+)
 
 
 def make_variant(variant: str, group: int):

@@ -29,7 +29,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "twostage_10m.json")
+# CPU smoke runs write to a separate file so correctness-only numbers can
+# never overwrite (or be misread as) the real-TPU measurement
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "twostage_10m.smoke.json" if os.environ.get("ISX_CPU_SMOKE") else "twostage_10m.json",
+)
 
 
 def log(msg):
