@@ -49,7 +49,9 @@ async function performImageSearch(file) {
   if (!file) return;
   setStatus("searching by image…");
   try {
-    const res = await fetch("/search_image", { method: "POST", body: file });
+    // marks ride as ?ref= params (raw-bytes body): a feedback round
+    // refines the image query exactly like a text one
+    const res = await fetch(L.imageSearchUrl(state.marked), { method: "POST", body: file });
     if (!res.ok) throw new Error(`HTTP ${res.status}`);
     const data = await res.json();
     state.view = "search";

@@ -182,6 +182,20 @@ function pickedQueryFile(files) {
   return null;
 }
 
+// POST /search_image URL: marked results ride as repeatable ?ref= params
+// (the body is the raw image bytes, so the feedback selections cannot go
+// in a JSON body like searchBody's referenced_images)
+function imageSearchUrl(marked) {
+  const parts = [];
+  for (let i = 0; i < marked.length; i++) {
+    parts.push("ref=" + encodeURIComponent(marked[i]));
+  }
+  if (parts.length > 0) {
+    return "/search_image?" + parts.join("&");
+  }
+  return "/search_image";
+}
+
 /* EXPORT (ignored by the test translator) */
 if (typeof window !== "undefined") {
   window.ISXLogic = {
@@ -189,5 +203,6 @@ if (typeof window !== "undefined") {
     shouldSearch, searchBody, resultsOf, scanStatusText, shouldCloseModal,
     removeBody, afterRemoval, removedStatusText, duplicateGroupsOf,
     dupStatusText, visibleMarked, groupsAfterRemoval, pickedQueryFile,
+    imageSearchUrl,
   };
 }

@@ -178,9 +178,11 @@ def build_app(
 
         Query-by-image extension endpoint (no reference counterpart): the
         posted photo is decoded, embedded by the vision tower, and searched
-        like a text query. Optional ``?k=`` overrides the result count.
-        400 on undecodable bytes; body size is capped by the app's 16 MB
-        client_max_size."""
+        like a text query. Optional ``?k=`` overrides the result count;
+        repeatable ``?ref=media/...`` params are marked results — the
+        Rocchio feedback round then refines the IMAGE query exactly like
+        /search refines a text one. 400 on undecodable bytes; body size is
+        capped by the app's 16 MB client_max_size."""
         data = await request.read()
         if not data:
             return web.json_response({"error": "empty body"}, status=400)
@@ -188,8 +190,9 @@ def build_app(
             k = int(request.query.get("k", "0")) or None
         except ValueError:
             return web.json_response({"error": "bad k"}, status=400)
+        refs = request.query.getall("ref", [])
         try:
-            images = await asyncio.to_thread(engine.search_by_image, data, k)
+            images = await asyncio.to_thread(engine.search_by_image, data, k, refs)
         except ValueError as err:
             return web.json_response({"error": str(err)}, status=400)
         except Exception:

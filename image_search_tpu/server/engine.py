@@ -261,12 +261,22 @@ class SearchEngine:
             global_metrics.inc("searches_with_feedback")
         return self._format_results(scores, idx)
 
-    def search_by_image(self, image_bytes: bytes, k: Optional[int] = None):
+    def search_by_image(
+        self,
+        image_bytes: bytes,
+        k: Optional[int] = None,
+        referenced_images: Sequence[str] = (),
+    ):
         """Query-by-image (POST /search_image): decode the uploaded bytes,
         embed with the vision tower, search the index with the image
         embedding. Beyond the reference, which can only query by text or by
         marking prior results — here any photo can BE the query. Rides the
         certified two-stage path when enabled, like text queries.
+
+        ``referenced_images`` (marked results, same resolution rules as
+        /search) runs the Rocchio-refined fused search with the image
+        embedding in the text embedding's role — feedback rounds work
+        uniformly for both query types.
 
         Raises ValueError on undecodable bytes (the handler maps it to 400).
         """
@@ -280,18 +290,35 @@ class SearchEngine:
             # bucket-padded device array; keep the one real row ON DEVICE
             # (the search dispatch chains on it without a host round-trip)
             emb = self.embedder.embed_images_async([arr])[:1]
+        selected = [
+            p for p in (self._resolve_selection(m) for m in referenced_images)
+            if p is not None
+        ]
         approx = self.args.search_approx
+        use_twostage = (
+            getattr(self.args, "search_twostage", False)
+            and not approx
+            and self.index.sketch_fresh
+        )
         with global_metrics.timer("index_search"):
-            if (
-                getattr(self.args, "search_twostage", False)
-                and not approx
-                and self.index.sketch_fresh
-            ):
+            if selected and use_twostage:
+                scores, idx = self.index.search_twostage_feedback_batch(
+                    emb, [selected], k
+                )
+                self._publish_twostage_gauges()
+            elif selected:
+                scores, idx = self.index.search_with_feedback(
+                    emb, selected, k, approx=approx
+                )
+            elif use_twostage:
                 scores, idx = self.index.search_twostage(emb, k)
+                self._publish_twostage_gauges()
             else:
                 scores, idx = self.index.search(emb, k, approx=approx)
         global_metrics.inc("searches")
         global_metrics.inc("image_searches")
+        if selected:
+            global_metrics.inc("searches_with_feedback")
         return self._format_results(scores, idx)
 
     def search_many(

@@ -57,6 +57,8 @@ class Server:
         if self.probe is not None:
             self.during_fetch.append((url, self.probe()))
         resp = self.routes.get(url)
+        if resp is None:  # fall back to the path without its query string
+            resp = self.routes.get(url.split("?")[0])
         if resp is None:
             return Response(404, {})
         if isinstance(resp, Exception):
@@ -389,6 +391,14 @@ def test_image_query_via_file_input_and_drop(browser, server):
     n = len(browser.fetch.calls)
     browser.window.dispatch("drop", make_event())
     assert len(browser.fetch.calls) == n
+
+    # marked results ride the image query as ?ref= params (feedback rounds
+    # work uniformly for text AND image queries)
+    browser.toggle_mark("media/p7.jpg", True)
+    inp.files = JSArray(["RAWBYTES2"])
+    inp.dispatch("change")
+    assert browser.fetch.calls[-1]["url"] == "/search_image?ref=media%2Fp7.jpg"
+    assert browser.fetch.calls[-1]["body"] == "RAWBYTES2"
 
 
 def test_image_query_http_error_sets_status(browser, server):

@@ -45,6 +45,8 @@ def _expr(js: str) -> str:
     s = re.sub(r"([A-Za-z_]\w*(?:\[[^\]]+\])?)\.length\b", r"len(\1)", s)
     s = s.replace(".push(", ".append(")
     s = s.replace(".trim()", ".strip()")
+    # arr.join(sep) -> _js_join(arr, sep)  (JS argument order is reversed)
+    s = re.sub(r"([A-Za-z_]\w*(?:\[[^\]]+\])?)\.join\(", r"_js_join(\1, ", s)
     # object literal { a: x, b: y } -> {"a": x, "b": y} (keys are identifiers)
     s = re.sub(r"([{,]\s*)([A-Za-z_]\w*)\s*:", r'\1"\2":', s)
     # remaining member access obj.prop -> obj.get("prop") (JS undefined ~ None)
@@ -62,8 +64,9 @@ def _expr(js: str) -> str:
     s = re.sub(r"\btrue\b", "True", s)
     s = re.sub(r"\bfalse\b", "False", s)
     s = re.sub(r"\bnull\b", "None", s)
-    # single ternary: cond ? a : b  ->  (a if cond else b)
-    if "?" in s:
+    # single ternary: cond ? a : b  ->  (a if cond else b); a '?' inside a
+    # string literal is NOT a ternary (e.g. a URL query string)
+    if "?" in re.sub(r'"[^"]*"|\'[^\']*\'', "", s):
         m = re.match(r"^([^?]+)\?([^:?]+):([^:?]+)$", s)
         if not m:
             raise JsTranslationError(f"unsupported ternary: {js!r}")
@@ -189,7 +192,17 @@ def L():
     with open(LOGIC_PATH) as f:
         src = f.read()
     py = translate(src)
-    ns = {"json": json, "math": math, "min": min, "max": max, "abs": abs, "len": len}
+    import urllib.parse
+
+    ns = {
+        "json": json, "math": math, "min": min, "max": max, "abs": abs,
+        "len": len,
+        "_js_join": lambda arr, sep: sep.join(str(x) for x in arr),
+        # JS leaves A-Za-z0-9 -_.!~*'() unescaped
+        "encodeURIComponent": lambda s: urllib.parse.quote(
+            str(s), safe="!'()*-._~"
+        ),
+    }
     exec(compile(py, "logic.js", "exec"), ns)
     return ns
 
@@ -346,6 +359,18 @@ def test_translator_rejects_undeclared_assignment():
     src = "function f(a) {\n  typoed = 1;\n  return a;\n}\n"
     with pytest.raises(JsTranslationError, match="undeclared"):
         translate(src)
+
+
+def test_image_search_url_carries_marks_encoded(L):
+    """Marks ride /search_image as repeatable ?ref= params, urlencoded —
+    the server decodes them and runs the Rocchio feedback round on the
+    image query (uniform with /search's referenced_images)."""
+    assert L["imageSearchUrl"]([]) == "/search_image"
+    assert L["imageSearchUrl"](["media/a.jpg"]) == "/search_image?ref=media%2Fa.jpg"
+    assert (
+        L["imageSearchUrl"](["media/a b.jpg", "media/c&d.png"])
+        == "/search_image?ref=media%2Fa%20b.jpg&ref=media%2Fc%26d.png"
+    )
 
 
 def test_picked_query_file(L):

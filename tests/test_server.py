@@ -579,6 +579,37 @@ def test_search_image_endpoint(client, engine):
         r = await c.post("/search_image", data=b"")
         assert r.status == 400
 
+        # feedback round on an IMAGE query: marked results ride as ?ref=
+        # params and run the Rocchio-refined search (uniform with /search)
+        from image_search_tpu.utils.metrics import global_metrics
+
+        before = global_metrics.snapshot()["counters"].get(
+            "searches_with_feedback", 0
+        )
+        mark = body["images"][1]["image_path"]
+        r = await c.post(
+            "/search_image", params=[("k", "3"), ("ref", mark)], data=data
+        )
+        assert r.status == 200
+        fb = (await r.json())["images"]
+        assert len(fb) == 3
+        after = global_metrics.snapshot()["counters"].get(
+            "searches_with_feedback", 0
+        )
+        assert after == before + 1
+        # the refined query equals the engine's direct feedback answer
+        direct = engine.search_by_image(data, 3, [mark])
+        assert [d["image_path"] for d in direct] == [d["image_path"] for d in fb]
+        # unknown refs resolve to nothing -> plain image search
+        r = await c.post(
+            "/search_image", params=[("k", "3"), ("ref", "media/nope.jpg")], data=data
+        )
+        plain = (await r.json())["images"]
+        direct_plain = engine.search_by_image(data, 3)
+        assert [d["image_path"] for d in direct_plain] == [
+            d["image_path"] for d in plain
+        ]
+
     loop.run_until_complete(drive())
 
 
