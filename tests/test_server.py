@@ -864,3 +864,17 @@ def test_offline_search_tool(tmp_path):
     assert out3.returncode == 0, out3.stdout + out3.stderr
     hits3 = [_json.loads(l) for l in out3.stdout.strip().splitlines()]
     assert hits3[0]["image_path"] == "media/photo_2.jpg"
+
+    # --image + --feedback: the marked photo's vector dominates the
+    # Rocchio-refined image query, same as the text case above
+    out4 = subprocess.run(
+        [_sys.executable, "tools/search.py",
+         os.path.join(media, "photo_2.jpg"), "--image", *common, "--k", "2",
+         "--feedback", "media/photo_1.jpg"],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out4.returncode == 0, out4.stdout + out4.stderr
+    hits4 = [_json.loads(l) for l in out4.stdout.strip().splitlines()]
+    assert {h["image_path"] for h in hits4} == {
+        "media/photo_1.jpg", "media/photo_2.jpg"
+    }

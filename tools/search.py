@@ -57,12 +57,10 @@ def main(argv=None) -> None:
               file=sys.stderr)
         raise SystemExit(1)
     if ns.image:
-        if fb:
-            print("--feedback requires a text query (the image path IS the "
-                  "query; there is no image+feedback search)", file=sys.stderr)
-            raise SystemExit(2)
+        # --feedback works for image queries too: the image embedding rides
+        # the same Rocchio fused path as a text one (POST /search_image?ref=)
         with open(query, "rb") as f:
-            hits = engine.search_by_image(f.read())
+            hits = engine.search_by_image(f.read(), referenced_images=fb)
     else:
         hits = engine.search(query, fb)
     for rank, img in enumerate(hits, start=1):
