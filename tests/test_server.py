@@ -878,3 +878,27 @@ def test_offline_search_tool(tmp_path):
     assert {h["image_path"] for h in hits4} == {
         "media/photo_1.jpg", "media/photo_2.jpg"
     }
+
+
+def test_wire_cache_is_bounded(tmp_path):
+    """The per-row wire-template memo must not grow toward corpus size
+    under long-lived diverse traffic (round-3 review): at the cap it is
+    cleared and rebuilt, never exceeded."""
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=5)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    eng.WIRE_CACHE_MAX = 3
+    res = eng.search("anything", [], k=5)
+    assert len(res) == 5
+    assert len(eng._wire_cache) <= 3  # cleared at the cap mid-format
+    # formatting stays correct after the clear: same answers as a cold memo
+    again = eng.search("anything", [], k=5)
+    assert [r["image_path"] for r in again] == [r["image_path"] for r in res]
+    assert all(r["id"] for r in again)
