@@ -117,12 +117,28 @@ def _attention(
 
         from image_search_tpu.ops.attention import attention_split_core, split_regime
 
+        # ISX_ATTN_PIPE=<G>: grouped double-buffered kernel (heads in groups
+        # of G, next group's QK overlapped with this group's softmax);
+        # ISX_ATTN_BF16SM=1 additionally runs softmax exp in bf16. G=4 is
+        # the DEFAULT: measured 1.0881 vs 1.1526 ms/layer standalone and
+        # 938.6 vs 930.0 img/s e2e (benchmarks/attn_pipeline_bench.py +
+        # bench.py A/B, 2026-08-18), numerics identical to the stacked
+        # kernel. ISX_ATTN_PIPE=0 restores the single-softmax kernel.
+        pipe_group = int(_os.environ.get("ISX_ATTN_PIPE", "4") or 0)
+
         if (
             not causal
             and _os.environ.get("ISX_ATTN_SPLIT") == "1"
             and split_regime(S)
         ):
             out = attention_split_core(q, k, v, H, 1.0, False)
+        elif pipe_group > 0 and H % pipe_group == 0:
+            from image_search_tpu.ops.attention import attention_grouped_core
+
+            out = attention_grouped_core(
+                q, k, v, H, pipe_group, causal, 1.0,
+                _os.environ.get("ISX_ATTN_BF16SM") == "1", False,
+            )
         else:
             out = attention_core(q, k, v, H, causal, 1.0, False)
     else:

@@ -548,6 +548,162 @@ def _split_bwd(heads, sm_scale, interpret, residuals, g):
 attention_split_core.defvjp(_split_fwd, _split_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Grouped / software-pipelined kernel (round-3 attention campaign)
+#
+# The shipped kernel runs ONE softmax over the full [H, S, S] logits scratch:
+# all H QK matmuls, then the VPU softmax, then all H PV matmuls — the MXU
+# idles through the softmax. This variant processes heads in groups of G
+# with TWO [G, S, S] scratch buffers: group g+1's QK matmuls are issued
+# BETWEEN softmax(g) and PV(g), so Mosaic can overlap the VPU softmax with
+# independent MXU work (classic double-buffered software pipelining).
+# `bf16_softmax` additionally runs exp/normalize in bf16 after the f32
+# max-subtract, halving softmax VPU+VMEM bytes (normalization stays exact:
+# the reciprocal-denominator multiply is applied to the f32 PV accumulator).
+#
+# STATUS (real-v5e, benchmarks/attn_pipeline_bench.py, 2026-08-18):
+#   group=4 pipelined: 1.0881 ms/layer vs 1.1526 base — the best measured
+#   attention core, numerics identical to base; enabled via ISX_ATTN_PIPE=4.
+#   bf16_softmax: 1.1871 ms/layer — measured NEGATIVE (the VPU is not the
+#   wall once pipelining hides it behind MXU work); kept tested, default off.
+#   The MXU-only floor (softmax deleted) is 1.0116 ms/layer / 42.8 TFLOP/s:
+#   the core is issue-bound on K=N=64 half-filled-MXU matmuls, so no softmax
+#   optimization can recover more than ~12% — docs/PERF_NOTES.md round-3
+#   campaign table.
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_grouped(
+    q_ref, k_ref, v_ref, o_ref, s0_ref, s1_ref, *,
+    causal: bool, sm_scale: float, heads: int, group: int, bf16_softmax: bool,
+):
+    S = q_ref.shape[1]
+    Hd = q_ref.shape[2] // heads
+    n_groups = heads // group
+    scratch = [s0_ref, s1_ref]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        causal_mask = (row >= col)[None]
+
+    def qk_into(dst, g):
+        for i in range(group):
+            sl = slice((g * group + i) * Hd, (g * group + i + 1) * Hd)
+            dst[i] = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    def pv_from(logits, g):
+        logits = logits * sm_scale
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        if bf16_softmax:
+            p16 = jnp.exp(logits.astype(jnp.bfloat16))
+            recip = 1.0 / jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+            p = p16.astype(v_ref.dtype)
+        else:
+            p32 = jnp.exp(logits)
+            recip = 1.0 / jnp.sum(p32, axis=-1, keepdims=True)
+            p = p32.astype(v_ref.dtype)
+        for i in range(group):
+            sl = slice((g * group + i) * Hd, (g * group + i + 1) * Hd)
+            acc = jax.lax.dot_general(
+                p[i], v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = (acc * recip[i]).astype(o_ref.dtype)
+
+    qk_into(scratch[0], 0)
+    for g in range(n_groups):
+        if g + 1 < n_groups:
+            # softmax(g) does not depend on QK(g+1): issuing it here gives
+            # Mosaic independent MXU work to overlap with the VPU softmax
+            qk_into(scratch[(g + 1) % 2], g + 1)
+        pv_from(scratch[g % 2][:], g)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "group", "causal", "sm_scale", "bf16_softmax", "interpret"),
+)
+def fused_attention_grouped(
+    q: jax.Array,  # [B, S, H*Hd] packed layout
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    group: int,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    bf16_softmax: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Grouped double-buffered attention; heads % group must be 0."""
+    assert heads % group == 0, f"heads={heads} not divisible by group={group}"
+    B, S, DH = q.shape
+    spec = pl.BlockSpec((1, S, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_kernel_grouped, causal=causal, sm_scale=sm_scale,
+            heads=heads, group=group, bf16_softmax=bf16_softmax,
+        ),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((group, S, S), jnp.float32),
+            pltpu.VMEM((group, S, S), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, S, DH), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",), vmem_limit_bytes=64 << 20
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def attention_grouped_core(
+    q, k, v, heads: int, group: int, causal: bool, sm_scale: float,
+    bf16_softmax: bool, interpret: bool,
+):
+    """Grouped attention with a VJP (XLA-oracle backward, like
+    attention_core)."""
+    return fused_attention_grouped(
+        q, k, v, heads=heads, group=group, causal=causal, sm_scale=sm_scale,
+        bf16_softmax=bf16_softmax, interpret=interpret,
+    )
+
+
+def _grouped_fwd(q, k, v, heads, group, causal, sm_scale, bf16_softmax, interpret):
+    out = attention_grouped_core(
+        q, k, v, heads, group, causal, sm_scale, bf16_softmax, interpret
+    )
+    return out, (q, k, v)
+
+
+def _grouped_bwd(heads, group, causal, sm_scale, bf16_softmax, interpret, residuals, g):
+    q, k, v = residuals
+    B, S, DH = q.shape
+    Hd = DH // heads
+
+    def ref(q_, k_, v_):
+        return attention_reference(
+            q_.reshape(B, S, heads, Hd),
+            k_.reshape(B, S, heads, Hd),
+            v_.reshape(B, S, heads, Hd),
+            causal=causal,
+            sm_scale=sm_scale,
+        ).reshape(B, S, DH)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+attention_grouped_core.defvjp(_grouped_fwd, _grouped_bwd)
+
+
 def split_regime(S: int) -> bool:
     """True when the split-key kernel applies (lane-misaligned S with a
     non-empty aligned main block, e.g. the vision tower's 257)."""

@@ -220,3 +220,88 @@ def test_split_core_gradients_match_reference(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "B,S,H,Hd,group,causal",
+    [
+        (2, 257, 16, 64, 4, False),  # vision shape, pipelined groups of 4
+        (2, 257, 16, 64, 1, False),  # fully pipelined (one head per group)
+        (2, 77, 12, 64, 4, True),  # text shape, causal
+        (1, 16, 4, 16, 2, False),
+    ],
+)
+def test_grouped_kernel_matches_reference(B, S, H, Hd, group, causal):
+    """Grouped double-buffered kernel == oracle (interpret mode, f32)."""
+    from image_search_tpu.ops.attention import fused_attention_grouped
+
+    ks = jax.random.split(jax.random.key(7), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, H, Hd), jnp.float32) * 0.3 for kk in ks)
+    want = attention_reference(q, k, v, causal=causal, sm_scale=Hd**-0.5)
+    got = fused_attention_grouped(
+        q.reshape(B, S, H * Hd),
+        k.reshape(B, S, H * Hd),
+        v.reshape(B, S, H * Hd),
+        heads=H,
+        group=group,
+        causal=causal,
+        sm_scale=Hd**-0.5,
+        interpret=True,
+    ).reshape(B, S, H, Hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_kernel_bf16_softmax_close_to_reference():
+    """bf16-softmax variant: exp in bf16, normalization exact in f32 —
+    error vs the f32 oracle stays at bf16 round-off scale."""
+    from image_search_tpu.ops.attention import fused_attention_grouped
+
+    B, S, H, Hd = 2, 64, 4, 16
+    ks = jax.random.split(jax.random.key(8), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, H, Hd), jnp.float32) * 0.3 for kk in ks)
+    want = attention_reference(q, k, v, sm_scale=Hd**-0.5)
+    got = fused_attention_grouped(
+        q.reshape(B, S, H * Hd),
+        k.reshape(B, S, H * Hd),
+        v.reshape(B, S, H * Hd),
+        heads=H,
+        group=2,
+        sm_scale=Hd**-0.5,
+        bf16_softmax=True,
+        interpret=True,
+    ).reshape(B, S, H, Hd)
+    # bf16 exp carries ~2^-8 relative error into the probabilities
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-2)
+    # and stays MUCH closer than an all-bf16 pipeline would
+    assert float(jnp.max(jnp.abs(got - want))) < 0.02
+
+
+def test_grouped_core_gradients_match_reference():
+    """ISX_ATTN_PIPE must not change training: grouped core's VJP (XLA
+    oracle backward) equals differentiating the reference directly."""
+    from image_search_tpu.ops.attention import attention_grouped_core
+
+    B, S, H, Hd = 2, 33, 4, 16
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H * Hd)).astype(np.float32))
+
+    def loss_grouped(q_, k_, v_):
+        return jnp.sum(
+            attention_grouped_core(q_, k_, v_, H, 2, False, 0.25, False, True) ** 2
+        )
+
+    def loss_ref(q_, k_, v_):
+        out = attention_reference(
+            q_.reshape(B, S, H, Hd),
+            k_.reshape(B, S, H, Hd),
+            v_.reshape(B, S, H, Hd),
+            sm_scale=0.25,
+        ).reshape(B, S, H * Hd)
+        return jnp.sum(out**2)
+
+    g1 = jax.grad(loss_grouped, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
