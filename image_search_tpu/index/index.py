@@ -798,11 +798,30 @@ class VectorIndex:
                 slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
                 scales, pens
             )
-        else:
+        elif os.environ.get("ISX_TWOSTAGE_ROWS"):
+            # row-candidate v1 (A/B gate): exact top-c UB selection — its
+            # big-k sort costs ~20 ms at 10M rows (PERF_NOTES round-3)
             from image_search_tpu.index.twostage import twostage_topk
 
             s, i, cert = twostage_topk(
                 slabs, sk.sketches, sk.resid, sk.basis, size, q, k, c,
+                scales, pens, sk.ub_slack,
+            )
+        else:
+            # block-candidate v2 (default): candidates are whole 128-row
+            # blocks — cheaper selection, tighter-or-equal certificate
+            from image_search_tpu.index.twostage import (
+                BLOCK, twostage_topk_block)
+
+            nb = sum(s.shape[0] for s in slabs) // BLOCK
+            m = min(c, nb - 1)
+            if m < 1 or m * BLOCK < k:
+                # corpus too small for block granularity to leave both a
+                # non-chosen block AND k rescore rows: full scan is as cheap
+                self.twostage_fallbacks += 1
+                return fallback()
+            s, i, cert = twostage_topk_block(
+                slabs, sk.sketches, sk.resid, sk.basis, size, q, k, m,
                 scales, pens, sk.ub_slack,
             )
         if bool(jnp.all(cert)):

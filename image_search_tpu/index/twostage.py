@@ -348,10 +348,16 @@ def sharded_twostage_topk(
     for n in slab_rows:
         assert n % n_shards == 0, (n, n_shards)
     local_n = sum(slab_rows) // n_shards
-    # per-shard candidate budget: c spread across shards but floored at k,
-    # so a shard holding the entire true top-k still forwards all of it
-    local_c = int(min(max(-(-c // n_shards), k), local_n - 1))
-    local_k = min(k, local_c)
+    # per-shard candidate budget in BLOCKS (the v2 selection — see the
+    # block-candidate module comment): c spread across shards, floored so
+    # the local pool can hold k rows; clamped at full local coverage
+    # (local_m == local_nb rescores every local row — trivially exact,
+    # rest_max = -inf). A shard whose true top-k rows span more than
+    # local_m blocks fails ITS certificate and the caller falls back —
+    # exactness never depends on the spread.
+    local_nb = local_n // BLOCK
+    local_m = int(min(max(-(-c // n_shards), -(-k // BLOCK)), local_nb))
+    local_k = min(k, local_m * BLOCK)
     slab_starts = np.concatenate([[0], np.cumsum(slab_rows)])[:-1]
     is_int8 = slabs[0].dtype == jnp.int8
     fs_slack = FULL_SCAN_SLACK[jnp.dtype(slabs[0].dtype).name]
@@ -423,22 +429,38 @@ def sharded_twostage_topk(
         gids = gid_parts[0] if len(gid_parts) == 1 else jnp.concatenate(gid_parts)
         ub_all = jnp.where((gids < size_l)[None, :], ub_all, NEG_INF)
 
-        ub_vals, ub_idx = exact_topk(ub_all, local_c + 1)
-        cand = ub_idx[:, :local_c]            # local concat-space offsets
-        rest_max_l = ub_vals[:, local_c]      # max UB outside local candidates
+        # block-candidate selection (v2): per-block maxima -> top local_m
+        # blocks shared across the batch; rest_max = each query's own max
+        # over non-chosen blocks. Slab rows are 4096/n_shards multiples so
+        # blocks never straddle slab boundaries in local concat space.
+        B = queries_r.shape[0]
+        bmax = ub_all.reshape(B, local_nb, BLOCK).max(2)
+        _, blocks = jax.lax.top_k(bmax.max(0), local_m)
+        chosen = jnp.zeros((local_nb,), bool).at[blocks].set(True)
+        rest_max_l = jnp.where(chosen[None, :], NEG_INF, bmax).max(1)
 
-        # stage 2: exact rescore of local candidates (full-scan arithmetic)
+        # stage 2: exact rescore of every row in the chosen local blocks
+        # (contiguous 128-row tiles; full-scan arithmetic)
+        rows, rscale, rpens, gid_l = _gather_block_rows(
+            slabs_l, scales_l, pens_l, blocks, pens_l is not None
+        )
         if is_int8:
-            ex = _rescore_int8(slabs_l, scales_l, cand, qi, qs)
+            s32 = jnp.einsum(
+                "bd,nd->bn", qi, rows, preferred_element_type=jnp.int32
+            )
+            ex = s32.astype(jnp.float32) * qs[:, None] * rscale[None, :]
         else:
-            ex = _rescore_float(slabs_l, cand, q)
-        if pens_l is not None:
-            ex = ex + _gather_pens(pens_l, cand)
-        gid_cand = gids[cand]
-        ex = jnp.where(gid_cand < size_l, ex, NEG_INF)
+            ex = jnp.einsum(
+                "bd,nd->bn", q.astype(rows.dtype), rows,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        if rpens is not None:
+            ex = ex + rpens[None, :]
+        gid_cand = gids[gid_l]                # [local_m*BLOCK] global ids
+        ex = jnp.where(gid_cand[None, :] < size_l, ex, NEG_INF)
 
-        v_l, pos = jax.lax.top_k(ex, local_k)
-        g_l = jnp.take_along_axis(gid_cand, pos, axis=1)
+        v_l, pos = exact_topk(ex, local_k)
+        g_l = gid_cand[pos]
 
         # ONE collective round: devices*local_k candidate pairs + the
         # certificate scalar, instead of N scores
@@ -531,6 +553,154 @@ def twostage_topk(
 
     vals, pos = jax.lax.top_k(ex, k)
     ids = jnp.take_along_axis(cand, pos, axis=1)
+    tau = vals[:, k - 1]
+    certified = rest_max <= tau - fs_slack
+    return vals, ids, certified
+
+
+# -- block-candidate variant (v2): cheap selection, contiguous gathers -------
+#
+# The row-candidate path above spends most of its time SELECTING the
+# exact top-(c+1) upper bounds: exact_topk at k=4097 escalates its HOLD to
+# 16384 rows and ends in a lax.top_k over 2.1M values — measured ~20 ms at
+# 10M rows, dwarfing the 2.6 GB bound-pass read it exists to exploit
+# (benchmarks/twostage_decomp.py). The v2 path picks candidates at
+# 128-row BLOCK granularity instead:
+#
+#   blockmax_j = max of UB over block j's 128 rows      (fused VPU pass)
+#   choose the m blocks with the largest blockmax       (top_k over N/128)
+#   rest_max   = (m+1)-th largest blockmax
+#   rescore ALL 128*m rows of the chosen blocks exactly (contiguous DMA)
+#
+# Certificate: every row outside the chosen blocks has UB <= its block's
+# max <= rest_max, so rest_max <= tau - FULL_SCAN_SLACK certifies exactness
+# precisely as before. TIGHTNESS: the top m+1 blockmaxes are m+1 UB values
+# from DISTINCT blocks, so the (m+1)-th blockmax is <= the (m+1)-th largest
+# UB overall — with m blocks the certificate is AT LEAST as tight as the
+# row path with c = m candidates, usually tighter (hot rows cluster).
+# Cost: selection shrinks to one top_k over N/128 blockmaxes, and the
+# rescore reads 128x more rows — but those are CONTIGUOUS 96 KB int8 tiles
+# (m=4096 -> 402 MB ~ 0.7 ms at the 640 GB/s read wall), not 4096 random
+# 768 B rows. Batched queries share ONE block set (chosen by the
+# batch-max of blockmax) so the gather cost does not scale with B; each
+# query's certificate uses its OWN max over non-chosen blocks.
+
+BLOCK = 128
+DEFAULT_BLOCKS = 4096
+
+
+def _gather_block_rows(slabs, scales, pens, blocks, has_pens: bool):
+    """Gather the chosen blocks' rows from the concatenated slab space.
+
+    ``blocks`` [m] are block ids in concat space; slab sizes are 4096-row
+    multiples so a block never straddles slabs. Returns (rows [m*B, D],
+    rscale [m*B] or None, rpens [m*B] or None, gid [m*B] concat row ids).
+    """
+    m = blocks.shape[0]
+    d = slabs[0].shape[1]
+    rows = jnp.zeros((m, BLOCK, d), slabs[0].dtype)
+    rscale = None if scales is None else jnp.zeros((m, BLOCK), jnp.float32)
+    rpens = jnp.zeros((m, BLOCK), jnp.float32) if has_pens else None
+    start_blk = 0
+    for i, slab in enumerate(slabs):
+        nb_i = slab.shape[0] // BLOCK
+        off = jnp.clip(blocks - start_blk, 0, nb_i - 1)
+        in_slab = (blocks >= start_blk) & (blocks < start_blk + nb_i)
+        s3 = slab.reshape(nb_i, BLOCK, d)
+        rows = jnp.where(in_slab[:, None, None], s3[off], rows)
+        if rscale is not None:
+            rscale = jnp.where(
+                in_slab[:, None], scales[i].reshape(nb_i, BLOCK)[off], rscale
+            )
+        if rpens is not None:
+            rpens = jnp.where(
+                in_slab[:, None], pens[i].reshape(nb_i, BLOCK)[off], rpens
+            )
+        start_blk += nb_i
+    gid = (blocks[:, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)).reshape(-1)
+    flat = lambda x: None if x is None else x.reshape(m * BLOCK)
+    return rows.reshape(m * BLOCK, d), flat(rscale), flat(rpens), gid
+
+
+@partial(jax.jit, static_argnames=("k", "m"))
+def twostage_topk_block(
+    slabs,                  # tuple of [n_b, D] row slabs (f32/bf16/int8)
+    sketches,               # tuple of [n_b, d_s] (SketchState.sketches)
+    resid,                  # tuple of [n_b] f32 (SketchState.resid)
+    basis,                  # [D, d_s] f32
+    size,                   # int32 scalar: #valid rows
+    queries: jax.Array,     # [B, D] raw (un-normalized) queries
+    k: int,
+    m: int = DEFAULT_BLOCKS,
+    scales=None,            # tuple of [n_b] f32 for int8 slabs
+    pens=None,              # tuple of [n_b] f32 additive penalties, or None
+    ub_slack=0.0,           # f32 scalar: bf16-sketch UB inflation
+):
+    """Certified exact top-k, block-candidate selection (module comment
+    above). Returns (vals [B,k], ids [B,k], certified [B] bool); False
+    rows MUST be re-answered by the full scan, exactly as twostage_topk."""
+    from image_search_tpu.index.index import _l2
+    from image_search_tpu.ops.topk import exact_topk
+
+    is_int8 = slabs[0].dtype == jnp.int8
+    fs_slack = FULL_SCAN_SLACK[jnp.dtype(slabs[0].dtype).name]
+    q = _l2(queries.astype(jnp.float32))
+    qt_vec, qi, qs = _exact_query_vector(q, is_int8)
+    q_s = jnp.matmul(qt_vec, basis, precision=HIGHEST)     # [B, d_s]
+    qs2 = jnp.sum(q_s * q_s, 1)
+    q_res = jnp.sqrt(
+        jnp.maximum(jnp.sum(qt_vec * qt_vec, 1) - qs2, 0.0) + SLACK_T
+    )
+    infl = jnp.sqrt(qs2) * ub_slack + SLACK
+
+    # stage 1: per-slab UB -> per-block maxima (the full [B, N] UB array is
+    # never materialized; each slab's UB tile reduces to [B, n_b/128])
+    bmax_parts = []
+    start = 0
+    qsk = q_s.astype(sketches[0].dtype)
+    for i, sk in enumerate(sketches):
+        n = sk.shape[0]
+        dot = jax.lax.dot_general(
+            qsk, sk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HIGHEST,
+        )
+        ub = dot + q_res[:, None] * resid[i][None, :] + infl[:, None]
+        if pens is not None:
+            ub = ub + pens[i][None, :]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
+        ub = jnp.where(valid[None, :], ub, NEG_INF)
+        bmax_parts.append(ub.reshape(ub.shape[0], n // BLOCK, BLOCK).max(2))
+        start += n
+    bmax = (
+        bmax_parts[0] if len(bmax_parts) == 1
+        else jnp.concatenate(bmax_parts, axis=1)
+    )                                                      # [B, nb]
+    nb = bmax.shape[1]
+
+    # one shared block set for the whole batch (gather cost is B-invariant)
+    shared = bmax.max(0)                                   # [nb]
+    _, blocks = jax.lax.top_k(shared, m)                   # [m]
+    chosen = jnp.zeros((nb,), bool).at[blocks].set(True)
+    rest_max = jnp.where(chosen[None, :], NEG_INF, bmax).max(1)  # [B]
+
+    # stage 2: exact rescore of every row in the chosen blocks
+    rows, rscale, rpens, gid = _gather_block_rows(
+        slabs, scales, pens, blocks, pens is not None
+    )
+    if is_int8:
+        s32 = jnp.einsum("bd,nd->bn", qi, rows, preferred_element_type=jnp.int32)
+        ex = s32.astype(jnp.float32) * qs[:, None] * rscale[None, :]
+    else:
+        ex = jnp.einsum(
+            "bd,nd->bn", q.astype(rows.dtype), rows,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+    if rpens is not None:
+        ex = ex + rpens[None, :]
+    ex = jnp.where(gid[None, :] < size, ex, NEG_INF)
+
+    vals, pos = exact_topk(ex, k)
+    ids = gid[pos]
     tau = vals[:, k - 1]
     certified = rest_max <= tau - fs_slack
     return vals, ids, certified

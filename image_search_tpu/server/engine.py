@@ -366,6 +366,12 @@ class SearchEngine:
             not self.args.search_approx
             and getattr(self.args, "search_twostage", False)
             and self.index.sketch_fresh
+            # big coalesced batches go straight to the full scan: its one
+            # read amortizes across the batch, while >4 DISTINCT queries
+            # defeat the shared-block certificate (measured at 10M —
+            # benchmarks/twostage_decomp.json v2_b8_* never certifies) and
+            # would pump the adaptive-disable counter for nothing
+            and len(queries) <= getattr(self.args, "twostage_max_batch", 4)
         )
         with global_metrics.timer("index_search"):
             if use_twostage:
@@ -431,9 +437,20 @@ class SearchEngine:
                 self.args.k,
                 approx=self.args.search_approx,
             )
-            if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
-                # warm the batched two-stage buckets too (the unified
-                # plain+feedback entry: rocchio gather + bound pass). On a
+            tmb = getattr(self.args, "twostage_max_batch", 4)
+            ts_bpad = 8
+            while ts_bpad < tmb:
+                ts_bpad *= 2
+            if (
+                getattr(self.args, "search_twostage", False)
+                and self.index.sketch_fresh
+                and n <= ts_bpad
+            ):
+                # warm the batched two-stage buckets (the unified
+                # plain+feedback entry: rocchio gather + bound pass) — only
+                # up to twostage_max_batch's pad bucket: search_many routes
+                # bigger coalesced batches to the full scan, so two-stage
+                # programs beyond that bucket can never be hit. On a
                 # corpus larger than the candidate budget the zero query's
                 # certificate fails by construction, which also compiles
                 # the full-scan fallback at this bucket size (tiny corpora

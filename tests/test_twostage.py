@@ -81,8 +81,12 @@ def test_adaptive_disable_after_consecutive_failures(rng):
     idx.add([f"p{i}" for i in range(n)], emb)
     idx.build_sketch()
     q = flat(rng, 1)
+    # candidates small relative to the corpus: at the default 4096 the
+    # block path's m clamps to nb-1 and rescores EVERY valid row, which is
+    # legitimately certified-exact even on flat data (full coverage) — the
+    # failure/disable machinery is about partial-coverage certificates
     for j in range(VectorIndex.TWOSTAGE_DISABLE_AFTER):
-        got = idx.search_twostage(q, k)  # exact every time (fallback)
+        got = idx.search_twostage(q, k, candidates=8)  # exact (fallback)
         assert_same_answer(got, idx.search(q, k))
     assert idx._sketch is None  # disabled
     before = idx.twostage_fallbacks
@@ -275,7 +279,9 @@ def test_feedback_twostage_flat_falls_back_exact(rng):
     q = flat(rng, 2)
     sels = [[paths[1]], []]
     want = idx.search_with_feedback_batch(q, sels, k)
-    got = idx.search_twostage_feedback_batch(q, sels, k)
+    # candidates small vs the corpus: the default budget would clamp to
+    # near-full block coverage, which certifies legitimately on any data
+    got = idx.search_twostage_feedback_batch(q, sels, k, candidates=8)
     assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
     assert_same_answer(got, want)
 
@@ -526,7 +532,9 @@ def test_warmup_probes_do_not_trip_adaptive_disable(rng):
     must neither advance nor wipe the adaptive-disable counter (round-3
     review: warmup with >=8 buckets could disable the sketch mid-loop; a
     post-loop reset conversely erased genuine live failures)."""
-    n, k, c = 8_000, 20, 512  # n >> c: the zero query CANNOT certify
+    # n >> c*BLOCK so block coverage stays partial and the zero query
+    # CANNOT certify (full-coverage rescore certifies on any data)
+    n, k, c = 8_000, 20, 8
     emb = flat(rng, n)
     idx = VectorIndex(DIM)
     idx.add([f"p{i}" for i in range(n)], emb)
@@ -589,16 +597,18 @@ def test_full_scan_slack_covers_default_precision_cast():
     assert FULL_SCAN_SLACK["int8"] == 0.0  # integer dot is bitwise on both routes
 
 
-def test_sharded_twostage_k_exceeding_merge_pool_falls_back(rng):
-    """Round-3 review: with tiny per-shard row counts, the sharded merge
-    pool (n_shards * local_k) can hold FEWER than k rows; the kernel used
-    to return a silently short [B, kk<k] result that could still certify.
-    It must force the fallback instead, so the caller always answers with
-    the full scan's k rows."""
+def test_sharded_twostage_tiny_shards_huge_k_still_exact(rng):
+    """Round-3 review found v1's sharded merge pool (n_shards * local_k)
+    could hold FEWER than k rows and return a silently short result. The
+    v2 block path floors local_m at ceil(k/BLOCK), so the pool can always
+    hold k; at tiny per-shard row counts local_m clamps to FULL local
+    coverage and the answer is certified-exact (every row rescored). The
+    answer must have full [B, k] shape and equal the full scan either way;
+    the kk<k fallback guard stays as a belt-and-braces backstop."""
     from image_search_tpu.parallel import make_mesh
 
     n = 4_096  # one append block -> 512 rows/shard on 8 devices
-    k = 4_090  # > 8 * (512 - 1) = 4088 merged columns
+    k = 4_090  # v1's merged pool held only 8 * 511 = 4088 < k columns
     emb = concentrated(rng, n)
     idx = VectorIndex(DIM, mesh=make_mesh(8, 1))
     idx.add([f"p{i}" for i in range(n)], emb)
@@ -606,6 +616,6 @@ def test_sharded_twostage_k_exceeding_merge_pool_falls_back(rng):
     q = concentrated(rng, 2)
     want = idx.search(q, k)
     got = idx.search_twostage(q, k, candidates=k + 5)
-    assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
+    assert idx.twostage_certified == 1 and idx.twostage_fallbacks == 0
     assert got[0].shape == (2, k) and got[1].shape == (2, k)
     assert_same_answer(got, want)
