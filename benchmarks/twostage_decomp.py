@@ -223,7 +223,7 @@ def main():
         out = sorted({m if m < nb else max(8, nb // 4) for m in ms})
         return [m for m in out if m < nb]
 
-    for b in (1, 8):
+    for b in (1, 2, 4, 8):
         qb = queries(b)
         for m in clamp_ms((2048, 4096, 8192) if b == 1 else (4096, 8192)):
             tag = f"v2_b{b}_m{m}"
@@ -237,7 +237,7 @@ def main():
             log(json.dumps({kk: results[kk] for kk in results if tag in kk}))
 
     # v2 with bf16 sketch (halved bound-pass bytes)
-    for b in (1, 8):
+    for b in (1, 4, 8):
         qb = queries(b)
         m = 4096 if 4096 < nb else max(8, nb // 4)
         tag = f"v2_bf16_b{b}_m{m}"

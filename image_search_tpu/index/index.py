@@ -815,9 +815,12 @@ class VectorIndex:
 
             nb = sum(s.shape[0] for s in slabs) // BLOCK
             m = min(c, nb - 1)
-            if m < 1 or m * BLOCK < k:
+            n_q = int(q.shape[0])
+            if m < 1 or m * BLOCK < k or (n_q > 1 and (m // n_q) * BLOCK < k):
                 # corpus too small for block granularity to leave both a
-                # non-chosen block AND k rescore rows: full scan is as cheap
+                # non-chosen block AND k rescore rows (batched: each query
+                # is guaranteed only its m//B union share): full scan is
+                # as cheap
                 self.twostage_fallbacks += 1
                 return fallback()
             s, i, cert = twostage_topk_block(

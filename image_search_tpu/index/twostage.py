@@ -429,13 +429,25 @@ def sharded_twostage_topk(
         gids = gid_parts[0] if len(gid_parts) == 1 else jnp.concatenate(gid_parts)
         ub_all = jnp.where((gids < size_l)[None, :], ub_all, NEG_INF)
 
-        # block-candidate selection (v2): per-block maxima -> top local_m
-        # blocks shared across the batch; rest_max = each query's own max
-        # over non-chosen blocks. Slab rows are 4096/n_shards multiples so
-        # blocks never straddle slab boundaries in local concat space.
+        # block-candidate selection (v2): per-block maxima -> local_m
+        # shared blocks; rest_max = each query's own max over non-chosen
+        # blocks. Batched selection is the union of per-query top-
+        # (local_m//B) blocks filled to local_m by batch-max (same
+        # construction and rationale as twostage_topk_block). Slab rows
+        # are 4096/n_shards multiples so blocks never straddle slab
+        # boundaries in local concat space.
         B = queries_r.shape[0]
         bmax = ub_all.reshape(B, local_nb, BLOCK).max(2)
-        _, blocks = jax.lax.top_k(bmax.max(0), local_m)
+        if B == 1:
+            _, blocks = jax.lax.top_k(bmax[0], local_m)
+        else:
+            mq = max(1, local_m // B)
+            shared_l = bmax.max(0)
+            _, qb = jax.lax.top_k(bmax, mq)
+            union = jnp.zeros((local_nb,), bool).at[qb.reshape(-1)].set(True)
+            _, blocks = jax.lax.top_k(
+                jnp.where(union, shared_l + 1e30, shared_l), local_m
+            )
         chosen = jnp.zeros((local_nb,), bool).at[blocks].set(True)
         rest_max_l = jnp.where(chosen[None, :], NEG_INF, bmax).max(1)
 
@@ -581,9 +593,19 @@ def twostage_topk(
 # Cost: selection shrinks to one top_k over N/128 blockmaxes, and the
 # rescore reads 128x more rows — but those are CONTIGUOUS 96 KB int8 tiles
 # (m=4096 -> 402 MB ~ 0.7 ms at the 640 GB/s read wall), not 4096 random
-# 768 B rows. Batched queries share ONE block set (chosen by the
-# batch-max of blockmax) so the gather cost does not scale with B; each
-# query's certificate uses its OWN max over non-chosen blocks.
+# 768 B rows. Batched queries share ONE block set so the gather cost does
+# not scale with B; each query's certificate uses its OWN max over
+# non-chosen blocks.
+#
+# BATCHED SELECTION (B > 1): the shared set is the UNION of each query's
+# own top-(m//B) blocks, FILLED to m with the best remaining blocks by
+# batch-max — not the plain top-m of the batch-max. Batch-max alone lets
+# one hot query hog the whole budget (measured: distinct-8 batches never
+# certified at m=4096); the union guarantees every query its m//B best
+# blocks (each certificate at least as tight as a solo run at m//B),
+# while the fill makes identical-query batches degenerate to exactly the
+# old batch-max selection (full m coverage). The pool every query's
+# top-k draws from is all m chosen blocks either way.
 
 BLOCK = 128
 DEFAULT_BLOCKS = 4096
@@ -678,8 +700,27 @@ def twostage_topk_block(
     nb = bmax.shape[1]
 
     # one shared block set for the whole batch (gather cost is B-invariant)
-    shared = bmax.max(0)                                   # [nb]
-    _, blocks = jax.lax.top_k(shared, m)                   # [m]
+    B = bmax.shape[0]
+    if B == 1:
+        _, blocks = jax.lax.top_k(bmax[0], m)              # [m]
+    else:
+        # union of per-query top-(m//B) blocks, FILLED to m with the best
+        # remaining blocks by batch-max (module comment: batch-max alone
+        # lets one hot query hog the budget — measured never certifying on
+        # distinct-8 batches; the union guarantees each query its own
+        # m//B best blocks, and the fill makes identical-query batches
+        # degenerate to exactly the old batch-max selection). The lift
+        # promotes finite union blocks above every non-union block while
+        # leaving NEG_INF (invalid/tombstoned) blocks unpromoted — any
+        # selection is sound (the certificate only reads the final mask),
+        # this one is just tight for both batch shapes.
+        mq = m // B
+        shared = bmax.max(0)                               # [nb]
+        _, qb = jax.lax.top_k(bmax, mq)                    # [B, mq]
+        union = jnp.zeros((nb,), bool).at[qb.reshape(-1)].set(True)
+        _, blocks = jax.lax.top_k(
+            jnp.where(union, shared + 1e30, shared), m
+        )                                                  # [m] distinct
     chosen = jnp.zeros((nb,), bool).at[blocks].set(True)
     rest_max = jnp.where(chosen[None, :], NEG_INF, bmax).max(1)  # [B]
 
