@@ -251,7 +251,7 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
 
 
 @lru_cache(maxsize=64)
-def _sharded_twostage_fn(mesh: Mesh, k: int, c: int):
+def _sharded_twostage_fn(mesh: Mesh, k: int, c: int, share: int = 0):
     @jax.jit
     def fn(slabs, sketches, resid, basis, size, queries, ub_slack,
            scales=None, pens=None):
@@ -259,7 +259,7 @@ def _sharded_twostage_fn(mesh: Mesh, k: int, c: int):
 
         return sharded_twostage_topk(
             slabs, sketches, resid, basis, size, queries, k, mesh, c,
-            scales, pens, ub_slack,
+            scales, pens, ub_slack, share,
         )
 
     return fn
@@ -786,15 +786,23 @@ class VectorIndex:
             return sk, k, c, slabs, norms, scales, pens, size, rows_list
 
     def _twostage_run(
-        self, sk, q, k, c, slabs, scales, pens, size, fallback, count_failures
+        self, sk, q, k, c, slabs, scales, pens, size, fallback, count_failures,
+        n_real: int = 0,
     ):
         """Dispatch the bound+rescore program (local or mesh-sharded) and
         apply the certificate / adaptive-disable bookkeeping. ``fallback``
         answers when the certificate fails; ``count_failures=False`` keeps
         by-construction failures (serving warmup's zero queries) out of the
-        consecutive-failure counter."""
+        consecutive-failure counter. ``n_real`` is the count of DISTINCT
+        queries in a batch padded by repetition (0: all of them) — the
+        union budget splits over real queries, not pad copies; rounded up
+        to a power of two so the program family stays {1,2,4,...}."""
+        n_q = int(q.shape[0])
+        share = n_q if n_real <= 0 else min(n_real, n_q)
+        if share > 1:  # pow2 ceil: one compiled program per ladder rung
+            share = 1 << (share - 1).bit_length()
         if self.mesh is not None:
-            s, i, cert = _sharded_twostage_fn(self.mesh, k, c)(
+            s, i, cert = _sharded_twostage_fn(self.mesh, k, c, share)(
                 slabs, sk.sketches, sk.resid, sk.basis, size, q, sk.ub_slack,
                 scales, pens
             )
@@ -814,18 +822,23 @@ class VectorIndex:
                 BLOCK, twostage_topk_block)
 
             nb = sum(s.shape[0] for s in slabs) // BLOCK
-            m = min(c, nb - 1)
-            n_q = int(q.shape[0])
-            if m < 1 or m * BLOCK < k or (n_q > 1 and (m // n_q) * BLOCK < k):
+            # scale the block budget so each of the `share` real queries
+            # keeps at least c/4 blocks of its own pick: the measured
+            # certification frontier at 10M (twostage_decomp: per-query
+            # 1024 blocks certifies at B=2/4/8; 512 fails at B=8) — a
+            # raised --twostage-max-batch stays certified instead of
+            # silently diluting the union share
+            m = min(max(c, (c // 4) * share), nb - 1)
+            if m < 1 or m * BLOCK < k or (share > 1 and (m // share) * BLOCK < k):
                 # corpus too small for block granularity to leave both a
                 # non-chosen block AND k rescore rows (batched: each query
-                # is guaranteed only its m//B union share): full scan is
-                # as cheap
+                # is guaranteed only its m//share union share): full scan
+                # is as cheap
                 self.twostage_fallbacks += 1
                 return fallback()
             s, i, cert = twostage_topk_block(
                 slabs, sk.sketches, sk.resid, sk.basis, size, q, k, m,
-                scales, pens, sk.ub_slack,
+                scales, pens, sk.ub_slack, share,
             )
         if bool(jnp.all(cert)):
             self.twostage_certified += 1
@@ -936,7 +949,7 @@ class VectorIndex:
         q = _rocchio_queries(slabs, norms, text_j, jnp.asarray(sel), scales)
         s_i = self._twostage_run(
             sk, q, k2, c, slabs, scales, pens, size,
-            lambda: None, count_failures,
+            lambda: None, count_failures, n_real=B,
         )
         if s_i is None:  # certificate failed: fused full-scan feedback
             return self.search_with_feedback_batch(

@@ -321,6 +321,7 @@ def sharded_twostage_topk(
     scales=None,            # tuple of [n_b] f32 for int8 slabs, each P(data)
     pens=None,              # tuple of [n_b] f32 additive penalties, or None
     ub_slack=0.0,           # f32 scalar: bf16-sketch UB inflation (0 for f32)
+    share: int = 0,         # #DISTINCT queries (twostage_topk_block doc)
 ):
     """Certified exact top-k over a row-sharded corpus (SPMD two-stage).
 
@@ -438,10 +439,11 @@ def sharded_twostage_topk(
         # boundaries in local concat space.
         B = queries_r.shape[0]
         bmax = ub_all.reshape(B, local_nb, BLOCK).max(2)
-        if B == 1:
-            _, blocks = jax.lax.top_k(bmax[0], local_m)
+        share_eff = B if share <= 0 else max(1, min(share, B))
+        if share_eff == 1:
+            _, blocks = jax.lax.top_k(bmax.max(0), local_m)
         else:
-            mq = max(1, local_m // B)
+            mq = max(1, local_m // share_eff)
             shared_l = bmax.max(0)
             _, qb = jax.lax.top_k(bmax, mq)
             union = jnp.zeros((local_nb,), bool).at[qb.reshape(-1)].set(True)
@@ -644,7 +646,7 @@ def _gather_block_rows(slabs, scales, pens, blocks, has_pens: bool):
     return rows.reshape(m * BLOCK, d), flat(rscale), flat(rpens), gid
 
 
-@partial(jax.jit, static_argnames=("k", "m"))
+@partial(jax.jit, static_argnames=("k", "m", "share"))
 def twostage_topk_block(
     slabs,                  # tuple of [n_b, D] row slabs (f32/bf16/int8)
     sketches,               # tuple of [n_b, d_s] (SketchState.sketches)
@@ -657,6 +659,9 @@ def twostage_topk_block(
     scales=None,            # tuple of [n_b] f32 for int8 slabs
     pens=None,              # tuple of [n_b] f32 additive penalties, or None
     ub_slack=0.0,           # f32 scalar: bf16-sketch UB inflation
+    share: int = 0,         # #DISTINCT queries to split the union budget
+                            # over (serving pads batches by REPEATING rows;
+                            # m//B would charge the pad copies). 0 -> B.
 ):
     """Certified exact top-k, block-candidate selection (module comment
     above). Returns (vals [B,k], ids [B,k], certified [B] bool); False
@@ -701,20 +706,25 @@ def twostage_topk_block(
 
     # one shared block set for the whole batch (gather cost is B-invariant)
     B = bmax.shape[0]
-    if B == 1:
-        _, blocks = jax.lax.top_k(bmax[0], m)              # [m]
+    share_eff = B if share <= 0 else max(1, min(share, B))
+    if share_eff == 1:
+        # one distinct query (any further rows are pad copies): the whole
+        # budget is its top-m by batch-max == its own blockmax
+        _, blocks = jax.lax.top_k(bmax.max(0), m)          # [m]
     else:
-        # union of per-query top-(m//B) blocks, FILLED to m with the best
-        # remaining blocks by batch-max (module comment: batch-max alone
-        # lets one hot query hog the budget — measured never certifying on
-        # distinct-8 batches; the union guarantees each query its own
-        # m//B best blocks, and the fill makes identical-query batches
-        # degenerate to exactly the old batch-max selection). The lift
-        # promotes finite union blocks above every non-union block while
-        # leaving NEG_INF (invalid/tombstoned) blocks unpromoted — any
-        # selection is sound (the certificate only reads the final mask),
-        # this one is just tight for both batch shapes.
-        mq = m // B
+        # union of per-query top-(m//share) blocks, FILLED to m with the
+        # best remaining blocks by batch-max (module comment: batch-max
+        # alone lets one hot query hog the budget — measured never
+        # certifying on distinct-8 batches; the union guarantees each
+        # query its own m//share best blocks, and the fill makes
+        # identical-query batches degenerate to exactly the old batch-max
+        # selection). Pad copies of a real query pick its same set, so
+        # the union stays within share*mq <= m. The lift promotes finite
+        # union blocks above every non-union block while leaving NEG_INF
+        # (invalid/tombstoned) blocks unpromoted — any selection is sound
+        # (the certificate only reads the final mask), this one is just
+        # tight for both batch shapes.
+        mq = max(1, m // share_eff)
         shared = bmax.max(0)                               # [nb]
         _, qb = jax.lax.top_k(bmax, mq)                    # [B, mq]
         union = jnp.zeros((nb,), bool).at[qb.reshape(-1)].set(True)

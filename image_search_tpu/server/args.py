@@ -38,11 +38,12 @@ class ServerArgs:
     search_approx: bool = False  # lax.approx_max_k (recall 0.95): ~2.3x faster
     search_twostage: bool = False  # certified exact sketch+rescore (twostage.py)
     sketch_dtype: str = "float32"  # float32|bfloat16: bf16 halves stage-1 bytes
-    # coalesced micro-batches LARGER than this answer by full scan: the
-    # shared-block certificate fails on >4 distinct queries (measured at
-    # 10M, benchmarks/twostage_decomp.json v2_b8_*) and the full scan
-    # amortizes its read across the batch anyway — routing away also keeps
-    # by-construction failures out of the adaptive-disable counter
+    # coalesced micro-batches LARGER than this answer by full scan (its
+    # one read amortizes across the batch). The union selection keeps
+    # distinct batches certified through B=8 on f32 sketches (measured
+    # 1.87 ms/q vs 2.13 full at 10M) so 8 is a valid setting there; the
+    # default stays 4 — biggest per-query win, and the bf16 sketch
+    # measured certified only to B=1 at the default budget
     twostage_max_batch: int = 4
     prune_on_scan: bool = False  # tombstone indexed images whose files vanished
     batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
@@ -115,8 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.twostage_max_batch,
                    help="largest coalesced batch that rides the two-stage "
                         "path; bigger batches answer by full scan (which "
-                        "amortizes its read across the batch, and distinct "
-                        "big batches defeat the shared-block certificate)")
+                        "amortizes its read across the batch). f32 sketches "
+                        "measured certified through 8; keep <=1 for "
+                        "--sketch-dtype bfloat16 under heavy batching")
     p.add_argument("--prune-on-scan", action="store_true", default=d.prune_on_scan,
                    help="each scan also tombstones indexed images whose files "
                         "no longer exist (the reference keeps them forever)")

@@ -366,11 +366,14 @@ class SearchEngine:
             not self.args.search_approx
             and getattr(self.args, "search_twostage", False)
             and self.index.sketch_fresh
-            # big coalesced batches go straight to the full scan: its one
-            # read amortizes across the batch, while >4 DISTINCT queries
-            # defeat the shared-block certificate (measured at 10M —
-            # benchmarks/twostage_decomp.json v2_b8_* never certifies) and
-            # would pump the adaptive-disable counter for nothing
+            # big coalesced batches go straight to the full scan, whose one
+            # read amortizes across the batch. The union selection keeps
+            # distinct batches certified through B=8 with f32 sketches
+            # (measured: 1.87 ms/q vs the full scan's 2.13 at 10M), so
+            # --twostage-max-batch may be raised to 8 there; the default
+            # stays 4 because the per-query win is largest at small B and
+            # the bf16 sketch measured certified only to B=1 at m=4096
+            # (benchmarks/twostage_decomp.json, PERF_NOTES union section)
             and len(queries) <= getattr(self.args, "twostage_max_batch", 4)
         )
         with global_metrics.timer("index_search"):
@@ -437,33 +440,33 @@ class SearchEngine:
                 self.args.k,
                 approx=self.args.search_approx,
             )
-            tmb = getattr(self.args, "twostage_max_batch", 4)
-            ts_bpad = 8
-            while ts_bpad < tmb:
-                ts_bpad *= 2
-            if (
-                getattr(self.args, "search_twostage", False)
-                and self.index.sketch_fresh
-                and n <= ts_bpad
-            ):
-                # warm the batched two-stage buckets (the unified
-                # plain+feedback entry: rocchio gather + bound pass) — only
-                # up to twostage_max_batch's pad bucket: search_many routes
-                # bigger coalesced batches to the full scan, so two-stage
-                # programs beyond that bucket can never be hit. On a
-                # corpus larger than the candidate budget the zero query's
-                # certificate fails by construction, which also compiles
-                # the full-scan fallback at this bucket size (tiny corpora
-                # certify trivially — every row is a candidate).
-                # count_failures=False: by-construction failures say
-                # nothing about the corpus spectrum — they must not trip
-                # (or be wiped from) the adaptive-disable counter
+        if getattr(self.args, "search_twostage", False) and self.index.sketch_fresh:
+            # warm the batched two-stage programs (the unified
+            # plain+feedback entry: rocchio gather + bound pass) at the
+            # share ladder serving can actually hit: real arrival counts
+            # are 1..twostage_max_batch (search_many routes bigger batches
+            # to the full scan), each padded to the Bpad=8 bucket inside,
+            # with the union budget split by the pow2-rounded REAL count —
+            # so the program family is (Bpad=8, share in {1,2,4,...}).
+            # On a corpus larger than the candidate budget the zero
+            # query's certificate fails by construction, which also
+            # compiles the full-scan fallback at this bucket size (tiny
+            # corpora certify trivially — every row is a candidate).
+            # count_failures=False: by-construction failures say nothing
+            # about the corpus spectrum — they must not trip (or be wiped
+            # from) the adaptive-disable counter
+            tmb = max(1, getattr(self.args, "twostage_max_batch", 4))
+            r = 1
+            while True:
                 self.index.search_twostage_feedback_batch(
-                    np.zeros((n, self.cfg.projection_dim), np.float32),
-                    [[] for _ in range(n)],
+                    np.zeros((r, self.cfg.projection_dim), np.float32),
+                    [[] for _ in range(r)],
                     self.args.k,
                     count_failures=False,
                 )
+                if r >= tmb:
+                    break
+                r *= 2
         # search_by_image runs outside the batcher at B=1 — warm its index
         # program and the vision tower's smallest batch bucket (source-size
         # buckets beyond the warmed one still compile on first use)

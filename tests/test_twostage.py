@@ -683,3 +683,49 @@ def test_batched_guard_falls_back_when_union_share_below_k(rng):
     got = idx.search_twostage(q, k, candidates=16)
     assert idx.twostage_fallbacks == 1 and idx.twostage_certified == 0
     assert_same_answer(got, want)
+
+
+def test_share_splits_union_by_real_queries_not_pad_copies(rng):
+    """Serving pads coalesced batches to the Bpad=8 bucket by REPEATING
+    query 0; with share=1 the kernel must give that one real query its
+    FULL m-block budget (identical answer+certificate to the solo B=1
+    call), not m//8 of it. share=0 keeps the per-row split (direct API)."""
+    import jax.numpy as jnp
+
+    from image_search_tpu.index import twostage
+    from image_search_tpu.index.index import VectorIndex
+
+    # query drawn from the SAME subspace as the corpus (one concentrated
+    # draw, last row as query): partial-coverage certification needs the
+    # query's similarity curve to decay, which a foreign-subspace query
+    # doesn't give. m=128 of nb=512 blocks = 25% coverage, verified to
+    # certify solo.
+    n, k, m = 65_536, 50, 128
+    both = concentrated(rng, n + 1)
+    emb, q_np = both[:n], both[n:]
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    sk = idx._sketch
+    slabs, _, scales, pens = idx._snapshot()
+    size = jnp.asarray(idx._size, jnp.int32)
+    q1 = jnp.asarray(q_np)
+    q8 = jnp.broadcast_to(q1, (8, DIM))
+
+    v1, i1, c1 = twostage.twostage_topk_block(
+        slabs, sk.sketches, sk.resid, sk.basis, size, q1, k, m,
+        scales, pens, sk.ub_slack,
+    )
+    v8, i8, c8 = twostage.twostage_topk_block(
+        slabs, sk.sketches, sk.resid, sk.basis, size, q8, k, m,
+        scales, pens, sk.ub_slack, share=1,
+    )
+    np.testing.assert_array_equal(np.asarray(i8[:1]), np.asarray(i1))
+    # same blocks, same rows; scores may differ by f32 reduction order
+    # across batch shapes (XLA tiles the [B, m*128] einsum differently)
+    np.testing.assert_allclose(np.asarray(v8[:1]), np.asarray(v1), atol=1e-6)
+    assert bool(c8[0]) == bool(c1[0]) is True
+    # share=0 (per-row split) gives each of the 8 rows only m//8 = 3
+    # blocks' own pick; certificates may differ — the pad-aware share is
+    # what keeps serving's padded single query as tight as a solo call
+    np.testing.assert_array_equal(np.asarray(i8[1:]), np.asarray(i8[:1]).repeat(7, 0))
