@@ -7,9 +7,12 @@ UNAVAILABLE. This runner loops a BOUNDED health probe and, the moment the
 tunnel answers, runs the pending measurement queue serialized in ONE
 process at a time with a fresh probe between items:
 
-  1. benchmarks/attn_pipeline_bench.py   (attention campaign, incremental JSON)
-  2. benchmarks/twostage_10m.py          (certified two-stage @10M, incremental JSON)
-  3. bench.py                            (headline; stdout JSON -> benchmarks/bench_manual.json)
+Queue (edit QUEUE below as measurements land; the state file remembers
+completed items, so delete benchmarks/tpu_queue_state.json when enqueueing
+a fresh battery):
+
+  1. benchmarks/cls_last_bench.py        (CLS-only last layer A/B + batch sweep)
+  2. bench.py                            (headline; stdout JSON -> benchmarks/bench_manual.json)
 
 Safety protocol (docs/PERF_NOTES.md "platform pathologies"):
   - the health probe does jax.devices() in a daemon thread and abandons it
@@ -37,8 +40,7 @@ PROBE_BOUND_S = 360  # healthy first contact after idle measured up to ~5 min
 RETRY_SLEEP_S = 600
 
 QUEUE = [
-    ("attn_pipeline", ["benchmarks/attn_pipeline_bench.py"], None),
-    ("twostage_10m", ["benchmarks/twostage_10m.py"], None),
+    ("cls_last", ["benchmarks/cls_last_bench.py"], None),
     ("bench", ["bench.py"], os.path.join(ROOT, "benchmarks", "bench_manual.json")),
 ]
 

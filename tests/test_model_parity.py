@@ -158,6 +158,70 @@ def test_checkpoint_roundtrip(tiny_pair, tmp_path, rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_cls_only_last_layer_matches_full_scan(tiny_pair, rng, monkeypatch):
+    """The CLS-only final vision layer (ISX_CLS_LAST, default on) is an
+    exact-FLOP reduction: its output must match the full L-layer scan to
+    float round-off in f32 and stay cosine-identical in bf16."""
+    cfg, _, params = tiny_pair
+    pixels = rng.normal(size=(3, 28, 28, 3)).astype(np.float32)
+    px = jnp.asarray(pixels)
+
+    monkeypatch.setenv("ISX_CLS_LAST", "1")
+    cls_f32 = np.asarray(jclip.encode_image(params, cfg, px))
+    cls_bf16 = np.asarray(
+        jclip.encode_image(params, cfg, px, compute_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    monkeypatch.setenv("ISX_CLS_LAST", "0")
+    full_f32 = np.asarray(jclip.encode_image(params, cfg, px))
+    full_bf16 = np.asarray(
+        jclip.encode_image(params, cfg, px, compute_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+
+    np.testing.assert_allclose(cls_f32, full_f32, rtol=1e-5, atol=1e-6)
+    assert cosine(cls_f32, full_f32).min() > 0.999999
+    # bf16: the truncated path rounds differently (row-0 matmuls vs the
+    # batched scan), but must stay embedding-equivalent
+    assert cosine(cls_bf16, full_bf16).min() > 0.999
+
+
+def test_eos_only_last_text_layer_matches_full_scan(tiny_pair, rng, monkeypatch):
+    """The EOS-only final text layer (ISX_EOS_LAST, default on) must match
+    the full scan: per-row pooled positions vary, exercising the gathered
+    query row and the explicit causal column mask."""
+    cfg, _, params = tiny_pair
+    ids = make_text_ids(cfg, 5, rng)  # varied eos positions per row
+    idsj = jnp.asarray(ids)
+
+    monkeypatch.setenv("ISX_EOS_LAST", "1")
+    eos_f32 = np.asarray(jclip.encode_text(params, cfg, idsj))
+    monkeypatch.setenv("ISX_EOS_LAST", "0")
+    full_f32 = np.asarray(jclip.encode_text(params, cfg, idsj))
+
+    np.testing.assert_allclose(eos_f32, full_f32, rtol=1e-5, atol=1e-6)
+    assert cosine(eos_f32, full_f32).min() > 0.999999
+
+
+def test_cls_only_remat_path_unchanged(tiny_pair, rng):
+    """remat=True (training) must keep the full scan regardless of the env
+    gate — ZeRO-3 shards the stacked layer axis (see encode_image)."""
+    cfg, _, params = tiny_pair
+    pixels = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+    px = jnp.asarray(pixels)
+    a = np.asarray(jclip.encode_image(params, cfg, px, remat=True))
+    import os
+
+    old = os.environ.pop("ISX_CLS_LAST", None)
+    try:
+        os.environ["ISX_CLS_LAST"] = "0"
+        b = np.asarray(jclip.encode_image(params, cfg, px))
+    finally:
+        if old is None:
+            os.environ.pop("ISX_CLS_LAST", None)
+        else:
+            os.environ["ISX_CLS_LAST"] = old
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_bf16_policy_close_to_f32(tiny_pair, rng):
     """bf16 compute must stay directionally faithful (cosine > 0.99)."""
     cfg, _, params = tiny_pair
