@@ -61,26 +61,25 @@ def main() -> None:
     # tests/test_model_parity.py::test_cls_only_last_layer_matches_full_scan
     iters = 1 if SMOKE else 20
     warmup = 0 if SMOKE else 3
-    batches = [2] if SMOKE else [160]
+    b = 2 if SMOKE else 160  # knee re-confirmed at 160 (176: 859, 192: 871)
 
-    for gate in ("0", "1"):
-        os.environ["ISX_CLS_LAST"] = gate
-        for b in batches:
-            ips = bench.bench_embed(batch_size=b, iters=iters, warmup=warmup)
-            results[f"cls{gate}_b{b}_img_s"] = round(ips, 1)
-            save()
-            log(f"cls_last={gate} B={b}: {ips:.1f} img/s")
-
-    if not SMOKE:
-        # batch re-sweep with the winner of the A/B
-        win = "1" if results["cls1_b160_img_s"] >= results["cls0_b160_img_s"] else "0"
-        results["sweep_gate"] = win
-        os.environ["ISX_CLS_LAST"] = win
-        for b in (176, 192):
-            ips = bench.bench_embed(batch_size=b, iters=20)
-            results[f"cls{win}_b{b}_img_s"] = round(ips, 1)
-            save()
-            log(f"cls_last={win} B={b}: {ips:.1f} img/s")
+    # First battery (2026-08-18): naive CLS block gained only +0.3%
+    # (938.4 -> 941.5) — the removed ~5 ms of FLOPs were eaten by B*H tiny
+    # attention matvecs and the blocks[:-1] stack copy. v2 decomposes:
+    #   cls0       : full 24-layer scan (control)
+    #   cls1_slice : TPU-shaped CLS block, head layers via sliced scan
+    #   cls1_cond  : same + skip-last cond scan (no stack copy) — candidate
+    configs = [
+        ("cls0", {"ISX_CLS_LAST": "0"}),
+        ("cls1_slice", {"ISX_CLS_LAST": "1", "ISX_CLS_COND": "0"}),
+        ("cls1_cond", {"ISX_CLS_LAST": "1", "ISX_CLS_COND": "1"}),
+    ]
+    for name, env in configs:
+        os.environ.update(env)
+        ips = bench.bench_embed(batch_size=b, iters=iters, warmup=warmup)
+        results[f"{name}_b{b}_img_s"] = round(ips, 1)
+        save()
+        log(f"{name} B={b}: {ips:.1f} img/s")
     save()
     print(json.dumps(results))
 

@@ -174,9 +174,16 @@ def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
 
     Same math as ``_attention`` restricted to query row 0: K/V are still
     projected for every position (the CLS row attends to all of them), but
-    the Q projection, the [S, S] logits, the softmax, and the PV matmul
-    shrink to one row. Dtype sequence mirrors the Pallas kernel: f32 logits
-    (MXU accumulation), f32 softmax, probabilities cast to the activation
+    the Q projection, the logits, the softmax, and the PV contraction
+    shrink to one row. TPU-shaped on purpose: a naive per-(batch, head)
+    formulation lowers to B*H tiny [1, Hd] @ [Hd, S] matvecs (measured: it
+    ate most of the removed-FLOP win). Instead the per-head logits come
+    from ONE batched matmul against a block-diagonal [D, H] right-hand side
+    (full K=D MXU contraction depth), and the PV step is a broadcasted
+    multiply-reduce over S (bandwidth-bound, two [B, S, D] reads).
+
+    Dtype sequence mirrors the Pallas kernel: f32 logits (MXU
+    accumulation), f32 softmax, probabilities cast to the activation
     dtype, f32 PV accumulation.
     """
     B, S, D = xn.shape
@@ -184,22 +191,29 @@ def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
     dtype = xn.dtype
     w = blk["qkv_w"].astype(dtype)
     b = blk["qkv_b"].astype(dtype)
-    q = (jnp.einsum("bsd,de->bse", xn[:, :1], w[:, :D]) + b[:D]) * float(Hd**-0.5)
+    q = (jnp.einsum("bd,de->be", xn[:, 0], w[:, :D]) + b[:D]) * float(Hd**-0.5)
     k = jnp.einsum("bsd,de->bse", xn, w[:, D : 2 * D]) + b[D : 2 * D]
     v = jnp.einsum("bsd,de->bse", xn, w[:, 2 * D :]) + b[2 * D :]
-    q = q.reshape(B, 1, H, Hd)
-    k = k.reshape(B, S, H, Hd)
-    v = v.reshape(B, S, H, Hd)
+
+    # logits[b, s, h] = q[b, h*Hd:(h+1)*Hd] . k[b, s, h*Hd:(h+1)*Hd]:
+    # place q block-diagonally in a [B, D, H] operand so the head-blocked
+    # dot is a single k @ q_blk batched matmul instead of H matvecs.
+    head_of = jnp.arange(D) // Hd
+    blkmask = (head_of[:, None] == jnp.arange(H)[None, :]).astype(dtype)
+    q_blk = q[:, :, None] * blkmask[None]  # [B, D, H]
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bsd,bdh->bsh", k, q_blk, preferred_element_type=jnp.float32
     )
-    p = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    out = (
-        jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
-        .astype(dtype)
-        .reshape(B, 1, D)
-    )
-    return jnp.einsum("bsd,de->bse", out, blk["o_w"].astype(dtype)) + blk["o_b"].astype(dtype)
+    p = jax.nn.softmax(logits, axis=1)  # over S, f32
+    # out[b, d] = sum_s p[b, s, head_of(d)] * v[b, s, d]; head blocks are
+    # contiguous so the per-head probability row repeats across its Hd dims
+    p_d = jnp.repeat(p.astype(dtype), Hd, axis=2)  # [B, S, D]
+    out = jnp.einsum(
+        "bsd,bsd->bd", p_d, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    return jnp.einsum("bd,de->be", out, blk["o_w"].astype(dtype))[:, None] + blk[
+        "o_b"
+    ].astype(dtype)
 
 
 def _block_cls(x: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
@@ -264,6 +278,45 @@ def _block_eos(
     c = x[rows, eos_pos][:, None] + attn
     c = c + _mlp(_layer_norm(c, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps), blk, cfg)
     return c
+
+
+def _encoder_skip_last(
+    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool
+) -> jax.Array:
+    """Run blocks[0..L-2] while scanning the FULL stacked weights.
+
+    ``jax.tree.map(lambda a: a[:-1], blocks)`` before a scan materializes a
+    copy of nearly the whole stacked parameter tree every call (~0.58 GB at
+    bf16 ViT-L — ~1 ms of HBM traffic at batch rate). Scanning all L
+    entries and skipping the last via ``lax.cond`` reads the original
+    buffers in place; the final iteration costs one unused 25 MB weight
+    DMA instead.
+    """
+    L = jax.tree.leaves(blocks)[0].shape[0]
+
+    def body(carry, blk):
+        h, i = carry
+        h = jax.lax.cond(
+            i < L - 1, lambda a: _block(a, blk, cfg, causal), lambda a: a, h
+        )
+        return (h, i + 1), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.asarray(0, jnp.int32)), blocks)
+    return x
+
+
+def _run_head_blocks(
+    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool
+) -> jax.Array:
+    """Dispatch for the truncated-last-layer paths: ISX_CLS_COND=1
+    (default) scans the full stack with a skip-last cond; =0 slices the
+    stack to L-1 layers first (the A/B control — pays the stack copy)."""
+    import os as _os
+
+    if _os.environ.get("ISX_CLS_COND", "1") == "1":
+        return _encoder_skip_last(x, blocks, cfg, causal)
+    head = jax.tree.map(lambda a: a[:-1], blocks)
+    return _encoder(x, head, cfg, causal, remat=False)
 
 
 def _encoder(
@@ -338,9 +391,8 @@ def encode_text(
 
     eos_last = not remat and _os.environ.get("ISX_EOS_LAST", "1") == "1"
     if eos_last and tc.num_layers > 1:
-        head = jax.tree.map(lambda a: a[:-1], t["blocks"])
         last = jax.tree.map(lambda a: a[-1], t["blocks"])
-        x = _encoder(x, head, tc, causal=True, remat=False)
+        x = _run_head_blocks(x, t["blocks"], tc, causal=True)
         pooled = _block_eos(x, last, tc, eos_pos)[:, 0]
     else:
         x = _encoder(x, t["blocks"], tc, causal=True, remat=remat)
@@ -391,9 +443,8 @@ def encode_image(
 
     cls_last = not remat and _os.environ.get("ISX_CLS_LAST", "1") == "1"
     if cls_last and vc.num_layers > 1:
-        head = jax.tree.map(lambda a: a[:-1], v["blocks"])
         last = jax.tree.map(lambda a: a[-1], v["blocks"])
-        x = _encoder(x, head, vc, causal=False, remat=False)
+        x = _run_head_blocks(x, v["blocks"], vc, causal=False)
         pooled = _block_cls(x, last, vc)[:, 0]
     else:
         x = _encoder(x, v["blocks"], vc, causal=False, remat=remat)
