@@ -823,12 +823,16 @@ class VectorIndex:
 
             nb = sum(s.shape[0] for s in slabs) // BLOCK
             # scale the block budget so each of the `share` real queries
-            # keeps at least c/4 blocks of its own pick: the measured
-            # certification frontier at 10M (twostage_decomp: per-query
-            # 1024 blocks certifies at B=2/4/8; 512 fails at B=8) — a
-            # raised --twostage-max-batch stays certified instead of
-            # silently diluting the union share
-            m = min(max(c, (c // 4) * share), nb - 1)
+            # keeps a measured per-query floor of its own pick. f32
+            # sketches certify at c/4 = 1024 blocks/query at 10M
+            # (twostage_decomp: B=2/4/8 pass; 512 fails at B=8). bf16
+            # sketches carry ub_slack ~4e-3 that eats that share (B=4/8
+            # m=4096 failed) — they get double the floor, c/2 = 2048/query
+            # (benchmarks/twostage_bf16_batch.py). A raised
+            # --twostage-max-batch stays certified instead of silently
+            # diluting the union share.
+            per_q = c // 2 if sk.sketches[0].dtype == jnp.bfloat16 else c // 4
+            m = min(max(c, per_q * share), nb - 1)
             if m < 1 or m * BLOCK < k or (share > 1 and (m // share) * BLOCK < k):
                 # corpus too small for block granularity to leave both a
                 # non-chosen block AND k rescore rows (batched: each query

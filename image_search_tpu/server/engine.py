@@ -368,12 +368,12 @@ class SearchEngine:
             and self.index.sketch_fresh
             # big coalesced batches go straight to the full scan, whose one
             # read amortizes across the batch. The union selection keeps
-            # distinct batches certified through B=8 with f32 sketches
-            # (measured: 1.87 ms/q vs the full scan's 2.13 at 10M), so
-            # --twostage-max-batch may be raised to 8 there; the default
-            # stays 4 because the per-query win is largest at small B and
-            # the bf16 sketch measured certified only to B=1 at m=4096
-            # (benchmarks/twostage_decomp.json, PERF_NOTES union section)
+            # distinct batches certified through B=8 for BOTH sketch dtypes
+            # with the dtype-aware per-query floor (index.py: f32 c/4, bf16
+            # c/2 — measured at 10M in twostage_bf16_batch.json: bf16 B=2
+            # 9.99 ms / B=4 12.18 / B=8 16.97 vs full scans 15.05/16.02/
+            # 17.14, all bitwise-equal). The default max-batch stays 4:
+            # at B=8 the two-stage win is a wash vs the amortized full scan
             and len(queries) <= getattr(self.args, "twostage_max_batch", 4)
         )
         with global_metrics.timer("index_search"):
