@@ -350,6 +350,7 @@ class VectorIndex:
         self._sketch = None
         self.twostage_certified = 0
         self.twostage_fallbacks = 0
+        self.sketch_incremental = 0  # appends absorbed without a rebuild
         # consecutive certificate failures; at TWOSTAGE_DISABLE_AFTER the
         # sketch is dropped until the next build (see search_twostage)
         self._twostage_consec_failures = 0
@@ -634,14 +635,96 @@ class VectorIndex:
         """Insert raw (unnormalized) embeddings; dedups by path; persists to
         the attached store if any. Returns #rows actually added."""
         with self._lock:  # store shard numbering must not race either
+            prev_sketch = self._sketch
             added = self._add_in_memory(paths, embeddings)
             if added and self.store is not None:
                 self.store.append(list(paths), np.asarray(embeddings, np.float32))
-            if added:
-                # new rows are not sketched: a stale sketch could UNDER-
-                # bound them and silently drop true top-k hits — invalidate
-                self._sketch = None
+            if added and prev_sketch is not None:
+                # an unsketched new row could be UNDER-bounded by a stale
+                # sketch and silently dropped from a true top-k — so either
+                # sketch the appended rows NOW against the existing basis
+                # (per-row bound: still certified-exact; the basis is only
+                # a tightness choice) or invalidate. Incremental keeps
+                # queries on the certified fast path THROUGHOUT a scan,
+                # instead of full-scanning until the post-scan rebuild.
+                try:
+                    ok = self._update_sketch_incremental(prev_sketch)
+                except Exception:  # never trade ingest for sketch upkeep
+                    logging.getLogger(__name__).exception(
+                        "incremental sketch update failed; invalidating"
+                    )
+                    ok = False
+                if ok:
+                    self.sketch_incremental += 1
+                else:
+                    self._sketch = None
             return added
+
+    def _update_sketch_incremental(self, sk) -> bool:
+        """Sketch rows [sk.built_rows, self._size) with the EXISTING basis
+        and splice them into the sketch slabs in place. Caller holds
+        ``self._lock``. Returns False when unsupported (mesh-sharded
+        sketches keep the invalidate-and-rebuild path).
+
+        Soundness: the Cauchy–Schwarz UB is per-row (sketch dot + inflated
+        residual w.r.t. the SAME basis), so rows sketched against an older
+        basis keep a rigorous bound — a drifted distribution only loosens
+        it (worst case: certificate fails, query falls back to the full
+        scan; results stay exact either way). The engine's post-scan
+        rebuild still re-fits the basis for tightness.
+        """
+        if self.mesh is not None:
+            return False
+        from image_search_tpu.index import twostage
+
+        d_s = sk.basis.shape[1]
+        to_bf16 = sk.sketches[0].dtype == jnp.bfloat16
+        # re-sketch from the aligned block boundary: the restaged tail rows
+        # below built_rows re-produce their existing sketch values, rows
+        # past self._size are zeros (sketch 0, tiny resid) masked by size
+        lo = (sk.built_rows // _UPDATE_BLOCK) * _UPDATE_BLOCK
+        hi = self._size
+        sketches, resid = list(sk.sketches), list(sk.resid)
+        slack = sk.ub_slack
+        while len(sketches) < len(self._emb_slabs):  # newly allocated slabs
+            n_i = self._emb_slabs[len(sketches)].shape[0]
+            sketches.append(jnp.zeros((n_i, d_s), sk.sketches[0].dtype))
+            resid.append(jnp.zeros((n_i,), jnp.float32))
+        start = 0
+        for i, slab in enumerate(self._emb_slabs):
+            n_i = slab.shape[0]
+            if sketches[i].shape[0] != n_i:
+                # the tail slab DOUBLED under this append (_ensure_capacity
+                # copies old rows at offset 0) — zero-pad the sketch slab to
+                # the new geometry; the pad rows are (re)sketched below
+                pad = n_i - sketches[i].shape[0]
+                if pad < 0:
+                    return False  # slab shrank (compaction path): rebuild
+                sketches[i] = jnp.concatenate(
+                    [sketches[i], jnp.zeros((pad, d_s), sketches[i].dtype)], 0
+                )
+                resid[i] = jnp.concatenate(
+                    [resid[i], jnp.zeros((pad,), jnp.float32)], 0
+                )
+            s_lo, s_hi = max(lo, start), min(hi, start + n_i)
+            if s_lo < s_hi:
+                # block-aligned local range: stable shapes per append size
+                l0 = ((s_lo - start) // _UPDATE_BLOCK) * _UPDATE_BLOCK
+                l1 = min(n_i, -(-(s_hi - start) // _UPDATE_BLOCK) * _UPDATE_BLOCK)
+                sc = (
+                    None
+                    if self._scale_slabs is None
+                    else self._scale_slabs[i][l0:l1]
+                )
+                s, t, d = twostage.sketch_slab(slab[l0:l1], sc, sk.basis, to_bf16)
+                sketches[i] = sketches[i].at[l0:l1].set(s)
+                resid[i] = resid[i].at[l0:l1].set(t)
+                slack = jnp.maximum(slack, d)
+            start += n_i
+        self._sketch = twostage.SketchState(
+            sk.basis, tuple(sketches), tuple(resid), self._size, slack
+        )
+        return True
 
     def _remove_in_memory(self, paths: Sequence[str]):
         with self._lock:

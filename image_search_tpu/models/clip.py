@@ -328,10 +328,20 @@ def _encoder(
     recomputed in the backward pass instead of stored for all L layers —
     the standard memory/FLOPs trade that lets ViT-L/14 fine-tune at real
     batch sizes on a 16 GB chip. No effect on inference.
+
+    ISX_REMAT_POLICY=<name> selects a jax.checkpoint_policies entry (e.g.
+    ``dots_with_no_batch_dims_saveable``: save matmul outputs, recompute
+    only elementwise/LN work) — the spectrum between full remat (max
+    recompute, min memory) and no remat (no recompute, activations for
+    all L layers live). Benchmarked in benchmarks/train_step_bench.py.
     """
     block = _block
     if remat:
-        block = jax.checkpoint(_block, static_argnums=(2, 3))
+        import os as _os
+
+        pol_name = _os.environ.get("ISX_REMAT_POLICY", "")
+        policy = getattr(jax.checkpoint_policies, pol_name) if pol_name else None
+        block = jax.checkpoint(_block, static_argnums=(2, 3), policy=policy)
 
     def body(h, blk):
         return block(h, blk, cfg, causal), None

@@ -105,7 +105,130 @@ def fused_attention(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, XLA-math backward
+# Fused backward kernel (round 3): the custom_vjp backward used to re-run
+# attention through the XLA oracle and autodiff it — logits, probabilities,
+# and the softmax-VJP temporaries all round-trip HBM ([B, H, S, S] f32 is
+# ~270 MB at train batch 64), twice (oracle recompute + grad math). This
+# kernel recomputes the probabilities IN VMEM per (batch row, head) and
+# emits dq/dk/dv directly: five MXU matmuls + the softmax VJP per head,
+# logits never leaving VMEM — the backward analogue of the forward kernel's
+# design. Numerics: f32 logits/softmax/accumulation, bf16 matmul operands
+# (same policy as forward); parity vs pure autodiff of the oracle is tested
+# in interpret mode (tests/test_attention.py gradient tests now exercise
+# THIS path). ISX_ATTN_FUSED_BWD=0 restores the XLA-oracle backward.
+# ---------------------------------------------------------------------------
+
+
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+    causal: bool, sm_scale: float, heads: int,
+):
+    S = q_ref.shape[1]
+    Hd = q_ref.shape[2] // heads
+    dtype = q_ref.dtype
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        mask = row >= col
+    for h in range(heads):
+        sl = slice(h * Hd, (h + 1) * Hd)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        if causal:
+            logits = jnp.where(mask, logits, NEG_INF)
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p32 = jnp.exp(logits)
+        p32 = p32 / jnp.sum(p32, axis=-1, keepdims=True)  # [Sq, Sk] f32
+        pb = p32.astype(dtype)
+        # dv[kk, d] = sum_q p[q, kk] g[q, d]
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pb, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dtype)
+        # dp[q, kk] = g[q, :] . v[kk, :]
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # softmax VJP: ds = p * (dp - sum_k dp*p), then the sm_scale chain
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        dsb = (ds * sm_scale).astype(dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dtype)
+        # dk[kk, d] = sum_q ds[q, kk] q[q, d]
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "causal", "sm_scale", "interpret")
+)
+def fused_attention_bwd(
+    q: jax.Array,  # [B, S, H*Hd] packed (same layout/scaling as the forward)
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,  # cotangent of the attention output, [B, S, H*Hd]
+    heads: int,
+    causal: bool = False,
+    sm_scale: float = 1.0,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) for softmax(q k^T * sm_scale [+ causal]) v, fused."""
+    B, S, DH = q.shape
+    spec = pl.BlockSpec((1, S, DH), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((B, S, DH), q.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel, causal=causal, sm_scale=sm_scale, heads=heads
+        ),
+        grid=(B,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=(out, out, out),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+
+
+def _backward_packed(q, k, v, g, heads, causal, sm_scale, interpret):
+    """Shared backward for every packed-layout attention core: the fused
+    Pallas kernel on TPU (and in interpret-mode tests), the XLA oracle
+    elsewhere or under ISX_ATTN_FUSED_BWD=0."""
+    import os as _os
+
+    use_fused = (interpret or jax.default_backend() == "tpu") and _os.environ.get(
+        "ISX_ATTN_FUSED_BWD", "1"
+    ) == "1"
+    if use_fused:
+        return fused_attention_bwd(
+            q, k, v, g, heads=heads, causal=causal, sm_scale=sm_scale,
+            interpret=interpret,
+        )
+    B, S, DH = q.shape
+    Hd = DH // heads
+
+    def ref(q_, k_, v_):
+        return attention_reference(
+            q_.reshape(B, S, heads, Hd),
+            k_.reshape(B, S, heads, Hd),
+            v_.reshape(B, S, heads, Hd),
+            causal=causal,
+            sm_scale=sm_scale,
+        ).reshape(B, S, DH)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, fused-Pallas (or XLA-math) backward
 # ---------------------------------------------------------------------------
 
 
@@ -128,20 +251,7 @@ def _core_fwd(q, k, v, heads, causal, sm_scale, interpret):
 
 def _core_bwd(heads, causal, sm_scale, interpret, residuals, g):
     q, k, v = residuals
-    B, S, DH = q.shape
-    Hd = DH // heads
-
-    def ref(q_, k_, v_):
-        return attention_reference(
-            q_.reshape(B, S, heads, Hd),
-            k_.reshape(B, S, heads, Hd),
-            v_.reshape(B, S, heads, Hd),
-            causal=causal,
-            sm_scale=sm_scale,
-        ).reshape(B, S, DH)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    return _backward_packed(q, k, v, g, heads, causal, sm_scale, interpret)
 
 
 attention_core.defvjp(_core_fwd, _core_bwd)
@@ -245,20 +355,12 @@ def _packed_fwd(qkv, heads, causal, sm_scale, interpret):
 
 def _packed_bwd(heads, causal, sm_scale, interpret, residuals, g):
     (qkv,) = residuals
-    B, S, D3 = qkv.shape
-    D = D3 // 3
-    Hd = D // heads
-
-    def ref(qkv_):
-        q = qkv_[..., :D].reshape(B, S, heads, Hd)
-        k = qkv_[..., D : 2 * D].reshape(B, S, heads, Hd)
-        v = qkv_[..., 2 * D :].reshape(B, S, heads, Hd)
-        return attention_reference(q, k, v, causal=causal, sm_scale=sm_scale).reshape(
-            B, S, D
-        )
-
-    _, vjp = jax.vjp(ref, qkv)
-    return vjp(g)
+    D = qkv.shape[-1] // 3
+    dq, dk, dv = _backward_packed(
+        qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :], g,
+        heads, causal, sm_scale, interpret,
+    )
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
 attention_qkv_packed_core.defvjp(_packed_fwd, _packed_bwd)
@@ -529,20 +631,7 @@ def _split_fwd(q, k, v, heads, sm_scale, interpret):
 
 def _split_bwd(heads, sm_scale, interpret, residuals, g):
     q, k, v = residuals
-    B, S, DH = q.shape
-    Hd = DH // heads
-
-    def ref(q_, k_, v_):
-        return attention_reference(
-            q_.reshape(B, S, heads, Hd),
-            k_.reshape(B, S, heads, Hd),
-            v_.reshape(B, S, heads, Hd),
-            causal=False,
-            sm_scale=sm_scale,
-        ).reshape(B, S, DH)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    return _backward_packed(q, k, v, g, heads, False, sm_scale, interpret)
 
 
 attention_split_core.defvjp(_split_fwd, _split_bwd)
@@ -685,20 +774,9 @@ def _grouped_fwd(q, k, v, heads, group, causal, sm_scale, bf16_softmax, interpre
 
 def _grouped_bwd(heads, group, causal, sm_scale, bf16_softmax, interpret, residuals, g):
     q, k, v = residuals
-    B, S, DH = q.shape
-    Hd = DH // heads
-
-    def ref(q_, k_, v_):
-        return attention_reference(
-            q_.reshape(B, S, heads, Hd),
-            k_.reshape(B, S, heads, Hd),
-            v_.reshape(B, S, heads, Hd),
-            causal=causal,
-            sm_scale=sm_scale,
-        ).reshape(B, S, DH)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    # the bf16-softmax forward is a documented approximation; its gradient
+    # (like the old oracle backward) is taken through exact-f32 softmax math
+    return _backward_packed(q, k, v, g, heads, causal, sm_scale, interpret)
 
 
 attention_grouped_core.defvjp(_grouped_fwd, _grouped_bwd)

@@ -218,6 +218,10 @@ class SearchEngine:
         global_metrics.gauge(
             "twostage_sketch_active", float(self.index.sketch_fresh)
         )
+        global_metrics.gauge(
+            "twostage_sketch_incremental_total",
+            float(self.index.sketch_incremental),
+        )
 
     def search(
         self, query: str, referenced_images: Sequence[str] = (), k: Optional[int] = None

@@ -305,3 +305,54 @@ def test_grouped_core_gradients_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_backward_matches_oracle_vjp(causal):
+    """The fused Pallas backward (interpret mode) == jax.vjp of the oracle,
+    directly on (dq, dk, dv) — covers the causal text-tower case and a
+    non-uniform cotangent (the gradient tests above reach it only through
+    the custom_vjp plumbing)."""
+    from image_search_tpu.ops.attention import fused_attention_bwd
+
+    B, S, H, Hd = 2, 13, 4, 8
+    D = H * Hd
+    ks = jax.random.split(jax.random.key(11), 4)
+    q, k, v, g = (jax.random.normal(kk, (B, S, D), jnp.float32) * 0.4 for kk in ks)
+
+    dq, dk, dv = fused_attention_bwd(
+        q, k, v, g, heads=H, causal=causal, sm_scale=0.27, interpret=True
+    )
+
+    def ref(q_, k_, v_):
+        return attention_reference(
+            q_.reshape(B, S, H, Hd), k_.reshape(B, S, H, Hd),
+            v_.reshape(B, S, H, Hd), causal=causal, sm_scale=0.27,
+        ).reshape(B, S, D)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    eq, ek, ev = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(eq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(ek), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(ev), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_backward_oracle_gate(monkeypatch):
+    """ISX_ATTN_FUSED_BWD=0 must route the custom_vjp backward through the
+    XLA oracle — and both routes must agree."""
+    from image_search_tpu.ops.attention import attention_core
+
+    B, S, H, Hd = 1, 9, 2, 8
+    D = H * Hd
+    ks = jax.random.split(jax.random.key(3), 3)
+    q, k, v = (jax.random.normal(kk, (B, S, D), jnp.float32) * 0.3 for kk in ks)
+
+    def loss(q, k, v):
+        return jnp.sum(attention_core(q, k, v, H, True, 0.4, True) ** 2)
+
+    monkeypatch.setenv("ISX_ATTN_FUSED_BWD", "0")
+    g_oracle = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("ISX_ATTN_FUSED_BWD", "1")
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -106,7 +106,11 @@ def test_adaptive_disable_after_consecutive_failures(rng):
     assert idx2._twostage_consec_failures == 0
 
 
-def test_append_invalidates_sketch(rng):
+def test_append_keeps_sketch_fresh_incrementally(rng):
+    """Appends no longer invalidate the sketch: the new rows are sketched
+    against the existing basis in place (per-row bound stays rigorous), so
+    queries keep the certified path mid-ingest. The appended row must be
+    FINDABLE immediately — the exact failure a stale sketch would cause."""
     n, k = 4_000, 10
     emb = concentrated(rng, n)
     idx = VectorIndex(DIM)
@@ -116,14 +120,72 @@ def test_append_invalidates_sketch(rng):
     # append a row that must WIN: equal to the query itself
     q = concentrated(rng, 1)
     idx.add(["new"], q.copy())
-    assert not idx.sketch_fresh  # stale sketch could under-bound the row
-    got = idx.search_twostage(q, k)
-    assert idx.twostage_fallbacks == 1  # stale -> full scan
+    assert idx.sketch_fresh  # absorbed incrementally, no rebuild
+    assert idx.sketch_incremental == 1
+    got = idx.search_twostage(q, k, candidates=256)
+    want = idx.search(q, k)
     assert got[1][0, 0] == n  # the new row is rank 1
-    # rebuilding restores the certified path
+    assert_same_answer(got, want)
+
+
+def test_incremental_sketch_across_new_slab(rng):
+    """Appends that allocate a NEW slab grow the sketch tuple to match and
+    stay exact (the sketch slab list must mirror the emb slab list)."""
+    n, k = 4_096, 10
+    idx = VectorIndex(DIM, slab_rows=4_096)  # force one slab per 4096 rows
+    idx.add([f"p{i}" for i in range(n)], concentrated(rng, n))
     idx.build_sketch()
+    extra = concentrated(rng, 6_000)
+    idx.add([f"x{i}" for i in range(6_000)], extra)
+    assert len(idx._emb_slabs) > 1
+    assert idx.sketch_fresh and idx.sketch_incremental == 1
+    assert len(idx._sketch.sketches) == len(idx._emb_slabs)
+    q = (extra[-1:] + 0.0).astype(np.float32)
+    got = idx.search_twostage(q, k, candidates=256)
+    want = idx.search(q, k)
+    assert got[1][0, 0] == n + 6_000 - 1
+    assert_same_answer(got, want)
+
+
+def test_incremental_sketch_bf16_and_int8(rng):
+    """Incremental update preserves the sketch dtype and the int8 bitwise
+    contract; the bf16 ub_slack only grows (max over old + new rows)."""
+    n, k = 8_000, 20
+    idx = VectorIndex(DIM, quantize="int8")
+    idx.add([f"p{i}" for i in range(n)], concentrated(rng, n))
+    idx.build_sketch(dtype="bfloat16")
+    import jax.numpy as jnp
+
+    slack0 = float(idx._sketch.ub_slack)
+    assert idx._sketch.sketches[0].dtype == jnp.bfloat16
+    idx.add([f"x{i}" for i in range(500)], concentrated(rng, 500))
+    assert idx.sketch_fresh
+    assert idx._sketch.sketches[0].dtype == jnp.bfloat16
+    assert float(idx._sketch.ub_slack) >= slack0
+    q = concentrated(rng, 2)
+    got = idx.search_twostage(q, k, candidates=512)
+    want = idx.search(q, k)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_incremental_sketch_mesh_falls_back_to_invalidate(rng):
+    """Sharded sketches keep the invalidate-and-rebuild path (the in-place
+    splice is not implemented for P(data, None) sketch slabs)."""
+    from image_search_tpu.parallel.mesh import make_mesh
+
+    n, k = 8_192, 10
+    idx = VectorIndex(DIM, mesh=make_mesh(8, 1), quantize="int8")
+    idx.add([f"p{i}" for i in range(n)], concentrated(rng, n))
+    idx.build_sketch()
+    assert idx.sketch_fresh
+    q = concentrated(rng, 1)
+    idx.add(["new"], q.copy())
+    assert not idx.sketch_fresh and idx.sketch_incremental == 0
+    got = idx.search_twostage(q, k)  # stale -> full scan, still exact
+    assert got[1][0, 0] == n
+    idx.build_sketch()  # rebuild restores the certified path
     got2 = idx.search_twostage(q, k, candidates=256)
-    assert idx.twostage_certified == 1
     assert got2[1][0, 0] == n
 
 
