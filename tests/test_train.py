@@ -542,3 +542,41 @@ def test_evaluate_pairs_end_to_end(tmp_path):
     for key in ("recall@1_i2t", "recall@1_t2i", "recall@3_i2t", "recall@3_t2i"):
         assert 0.0 <= metrics[key] <= 1.0
     assert 1.0 <= metrics["median_rank_i2t"] <= 5.0
+
+
+def test_remat_policy_is_math_identical(rng):
+    """ISX_REMAT_POLICY (save-dots) changes WHAT is recomputed, never the
+    math: losses must match full remat step for step."""
+    import os
+
+    import optax
+
+    from image_search_tpu.train.contrastive import make_train_step
+
+    cfg = tiny_test_config()
+    params = init_params(jax.random.key(1), cfg)
+    ids = np.asarray(rng.integers(1, 50, size=(4, cfg.text.context_length)), np.int32)
+    ids[:, -1] = cfg.text.eos_token_id
+    px = np.asarray(rng.normal(size=(4, 28, 28, 3)), np.float32)
+    opt = optax.adam(1e-3)
+
+    def run(policy):
+        old = os.environ.pop("ISX_REMAT_POLICY", None)
+        try:
+            if policy:
+                os.environ["ISX_REMAT_POLICY"] = policy
+            init_fn, step_fn = make_train_step(cfg, opt, remat=True)
+            state = init_fn(params)
+            losses = []
+            for _ in range(3):
+                state, m = step_fn(state, jnp.asarray(ids), jnp.asarray(px))
+                losses.append(float(m["loss"]))
+            return losses
+        finally:
+            os.environ.pop("ISX_REMAT_POLICY", None)
+            if old is not None:
+                os.environ["ISX_REMAT_POLICY"] = old
+
+    full = run("")
+    dots = run("dots_with_no_batch_dims_saveable")
+    np.testing.assert_allclose(dots, full, rtol=1e-6, atol=1e-7)
