@@ -11,8 +11,8 @@ Queue (edit QUEUE below as measurements land; the state file remembers
 completed items, so delete benchmarks/tpu_queue_state.json when enqueueing
 a fresh battery):
 
-  1. benchmarks/cls_last_bench.py        (CLS-only last layer A/B + batch sweep)
-  2. bench.py                            (headline; stdout JSON -> benchmarks/bench_manual.json)
+  1. benchmarks/vmem_sweep.py            (scoped-VMEM + pipe-group re-sweep, new core)
+  2. benchmarks/train_step_bench.py b3   (batch knee under the dots remat policy)
 
 Safety protocol (docs/PERF_NOTES.md "platform pathologies"):
   - the health probe does jax.devices() in a daemon thread and abandons it
@@ -40,8 +40,9 @@ PROBE_BOUND_S = 360  # healthy first contact after idle measured up to ~5 min
 RETRY_SLEEP_S = 600
 
 QUEUE = [
-    ("cls_last", ["benchmarks/cls_last_bench.py"], None),
-    ("bench", ["bench.py"], os.path.join(ROOT, "benchmarks", "bench_manual.json")),
+    ("vmem_sweep", ["benchmarks/vmem_sweep.py"], None, None),
+    ("train_b3", ["benchmarks/train_step_bench.py"], None,
+     {"ISX_TRAIN_BATTERY": "3"}),
 ]
 
 PROBE_SRC = r"""
@@ -92,7 +93,10 @@ def probe() -> bool:
     return r.returncode == 0 and "PROBE_OK" in r.stdout
 
 
-def run_item(name: str, argv: list[str], stdout_to: str | None) -> int:
+def run_item(
+    name: str, argv: list[str], stdout_to: str | None,
+    env_extra: dict | None = None,
+) -> int:
     log(f"running {name}: {' '.join(argv)}")
     t0 = time.time()
     out = open(stdout_to, "w") if stdout_to else None
@@ -100,6 +104,7 @@ def run_item(name: str, argv: list[str], stdout_to: str | None) -> int:
         r = subprocess.run(
             [sys.executable, *argv], cwd=ROOT,
             stdout=out or None, text=True,
+            env=dict(os.environ, **env_extra) if env_extra else None,
         )
     finally:
         if out:
@@ -120,7 +125,7 @@ def main() -> None:
                 f"(attempt {state['attempts']})")
             time.sleep(RETRY_SLEEP_S)
             continue
-        for name, argv, stdout_to in QUEUE:
+        for name, argv, stdout_to, env_extra in QUEUE:
             prev = state["items"].get(name, {})
             if prev.get("rc") == 0 or prev.get("fails", 0) >= 2:
                 continue  # succeeded earlier, or a real (non-tunnel) failure
@@ -128,7 +133,7 @@ def main() -> None:
                 log(f"tunnel lost before {name}; back to retry loop")
                 break
             t0 = time.time()
-            rc = run_item(name, argv, stdout_to)
+            rc = run_item(name, argv, stdout_to, env_extra)
             state["items"][name] = {
                 "rc": rc,
                 "seconds": round(time.time() - t0),

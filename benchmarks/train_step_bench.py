@@ -32,9 +32,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 SMOKE = bool(os.environ.get("ISX_CPU_SMOKE"))
+BATTERY = int(os.environ.get("ISX_TRAIN_BATTERY", "2") or 2)
 OUT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
-    "train_step_bench.smoke.json" if SMOKE else "train_step_bench.json",
+    "train_step_bench.smoke.json" if SMOKE
+    else "train_step_bench.json" if BATTERY <= 2
+    else f"train_step_bench_b{BATTERY}.json",
 )
 
 results: dict = {}
@@ -124,6 +127,22 @@ def main():
         ("fused_noremat_b32", dict(gate="1", batch=batch // 2, remat=False)),
         ("fused_noremat", dict(gate="1", batch=batch, remat=False)),
     ]
+    # battery 3: the dots policy moved the memory/recompute frontier —
+    # round 2's "saturated at B=64" was measured under FULL remat, so the
+    # batch knee must be re-found under the new default policy; also probe
+    # the heavier dots_saveable (saves batched dots too, incl. attention
+    # logits — less recompute, more memory, may OOM).
+    if BATTERY == 3:
+        dots = "dots_with_no_batch_dims_saveable"
+        configs = [
+            ("dots_b96", dict(gate="1", batch=96, remat=True, policy=dots)),
+            ("dots_b128", dict(gate="1", batch=128, remat=True, policy=dots)),
+            ("dots_b80", dict(gate="1", batch=80, remat=True, policy=dots)),
+            ("dotsall_b64", dict(
+                gate="1", batch=batch, remat=True, policy="dots_saveable")),
+        ]
+        if SMOKE:
+            configs = [(n, dict(c, batch=4)) for n, c in configs]
     for name, cf in configs:
         b = cf.pop("batch")
         try:

@@ -21,6 +21,7 @@ default budgets.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -30,7 +31,10 @@ TUNED_SCOPED_VMEM_KIB = 32768
 
 def embed_compiler_options() -> Optional[dict]:
     """compiler_options for the image-embed forward; None off-TPU (the flag
-    is TPU-only and XLA:CPU would reject it)."""
+    is TPU-only and XLA:CPU would reject it). ISX_SCOPED_VMEM_KIB overrides
+    the tuned value for flag sweeps (benchmarks/vmem_sweep.py) — one
+    compiler-options experiment per process (CLAUDE.md)."""
     if jax.default_backend() != "tpu":
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": str(TUNED_SCOPED_VMEM_KIB)}
+    kib = os.environ.get("ISX_SCOPED_VMEM_KIB") or str(TUNED_SCOPED_VMEM_KIB)
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
