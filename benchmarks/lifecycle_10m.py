@@ -17,6 +17,11 @@ markdown table for benchmarks/RESULTS.md. Needs ~65 GB free disk.
 
 Usage: python benchmarks/lifecycle_10m.py [--rows 10000000] [--dir DIR]
        [--keep] (keep the store for re-runs)
+       [--host-only] (no TPU: skip index upload + queries; rows are zeros —
+        open/liveness/tombstone/compact are path- and IO-bound, not
+        value-bound, so the host-side numbers are representative. Used to
+        measure the round-4 binary .pax sidecar restart win. Writes
+        lifecycle_10m.host.json)
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ def fetch(arr) -> float:
     return float(np.asarray(arr).ravel()[0])
 
 
-def build_store(directory: str, rows: int) -> float:
+def build_store(directory: str, rows: int, zeros: bool = False) -> float:
     from image_search_tpu.index import EmbeddingStore
 
     rng = np.random.default_rng(0)
@@ -60,7 +65,10 @@ def build_store(directory: str, rows: int) -> float:
     done = 0
     while done < rows:
         n = min(chunk, rows - done)
-        emb = rng.standard_normal((n, DIM), dtype=np.float32)
+        if zeros:
+            emb = np.zeros((n, DIM), dtype=np.float32)
+        else:
+            emb = rng.standard_normal((n, DIM), dtype=np.float32)
         paths = [f"/pictures/img_{done + i:08d}.jpg" for i in range(n)]
         store.append(paths, emb)
         done += n
@@ -68,8 +76,11 @@ def build_store(directory: str, rows: int) -> float:
     return time.monotonic() - t0
 
 
-def restore(directory: str, rows: int, label: str, queries: int = 20) -> dict:
-    from image_search_tpu.index import EmbeddingStore, VectorIndex
+def restore(
+    directory: str, rows: int, label: str, queries: int = 20,
+    host_only: bool = False,
+) -> dict:
+    from image_search_tpu.index import EmbeddingStore
 
     out = {}
     t0 = time.monotonic()
@@ -80,6 +91,20 @@ def restore(directory: str, rows: int, label: str, queries: int = 20) -> dict:
     live, dead = store.liveness()
     out["liveness_s"] = time.monotonic() - t0
     out["dead_paths"] = len(dead)
+
+    if host_only:
+        # the index restore path also walks every segment's paths — time the
+        # host half of it (read + decode) without a device
+        t0 = time.monotonic()
+        n_paths = 0
+        for paths, _emb in store.iter_shards():
+            n_paths += len(paths)
+        out["paths_decode_s"] = time.monotonic() - t0
+        out["rows_seen"] = n_paths
+        print(f"[{label}] {json.dumps(out)}", flush=True)
+        return out
+
+    from image_search_tpu.index import VectorIndex
 
     t0 = time.monotonic()
     index = VectorIndex.from_store(store, quantize="int8")
@@ -113,19 +138,25 @@ def main():
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--dir", default="/tmp/isx_lifecycle_store")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--host-only", action="store_true")
     args = ap.parse_args()
 
-    probe_tpu()
-    results = {"rows": args.rows}
+    if not args.host_only:
+        probe_tpu()
+    results = {"rows": args.rows, "host_only": args.host_only}
 
     if not os.path.exists(os.path.join(args.dir, "manifest.json")):
-        results["build_s"] = round(build_store(args.dir, args.rows), 1)
+        results["build_s"] = round(
+            build_store(args.dir, args.rows, zeros=args.host_only), 1
+        )
     disk = sum(
         os.path.getsize(os.path.join(args.dir, f)) for f in os.listdir(args.dir)
     )
     results["disk_gb"] = round(disk / 1e9, 2)
 
-    results["restore_clean"] = restore(args.dir, args.rows, "restore_clean")
+    results["restore_clean"] = restore(
+        args.dir, args.rows, "restore_clean", host_only=args.host_only
+    )
 
     # tombstone 1% (spread across the corpus), then restore again
     from image_search_tpu.index import EmbeddingStore
@@ -136,7 +167,9 @@ def main():
     store.tombstone(dead)
     results["tombstone_1pct_s"] = round(time.monotonic() - t0, 2)
     del store
-    results["restore_tombstoned"] = restore(args.dir, args.rows, "restore_tombstoned")
+    results["restore_tombstoned"] = restore(
+        args.dir, args.rows, "restore_tombstoned", host_only=args.host_only
+    )
 
     store = EmbeddingStore(args.dir, DIM)
     t0 = time.monotonic()
@@ -145,9 +178,14 @@ def main():
     results["compact_kept"] = kept
     results["compact_dropped"] = dropped
     del store
-    results["restore_compacted"] = restore(args.dir, args.rows, "restore_compacted")
+    results["restore_compacted"] = restore(
+        args.dir, args.rows, "restore_compacted", host_only=args.host_only
+    )
 
-    out_path = os.path.join(os.path.dirname(__file__), "lifecycle_10m.json")
+    out_path = os.path.join(
+        os.path.dirname(__file__),
+        "lifecycle_10m.host.json" if args.host_only else "lifecycle_10m.json",
+    )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
@@ -159,13 +197,17 @@ def main():
         print(f"| build {args.rows/1e6:.0f}M rows ({r['disk_gb']} GB) | {r['build_s']} s |")
     rc = r["restore_clean"]
     print(f"| store open (clean) | {rc['store_open_s']:.1f} s |")
-    print(f"| int8 index re-upload | {rc['index_upload_s']:.1f} s |")
-    print(f"| first query (incl. compile) | {rc['first_query_s']:.1f} s |")
-    print(f"| steady query p50 / p95 | {rc['query_p50_ms']} / {rc['query_p95_ms']} ms |")
+    if args.host_only:
+        print(f"| path read+decode (index-restore host half) | {rc['paths_decode_s']:.1f} s |")
+    else:
+        print(f"| int8 index re-upload | {rc['index_upload_s']:.1f} s |")
+        print(f"| first query (incl. compile) | {rc['first_query_s']:.1f} s |")
+        print(f"| steady query p50 / p95 | {rc['query_p50_ms']} / {rc['query_p95_ms']} ms |")
     rt = r["restore_tombstoned"]
     print(f"| tombstone 1% | {r['tombstone_1pct_s']} s |")
     print(f"| liveness pass (1% tombstoned) | {rt['liveness_s']:.1f} s |")
-    print(f"| restore with tombstones (open+liveness+upload) | {rt['store_open_s']+rt['liveness_s']+rt['index_upload_s']:.1f} s |")
+    if not args.host_only:
+        print(f"| restore with tombstones (open+liveness+upload) | {rt['store_open_s']+rt['liveness_s']+rt['index_upload_s']:.1f} s |")
     print(f"| compact (drop 1%) | {r['compact_s']} s |")
 
     if not args.keep:

@@ -9,9 +9,22 @@ Replaces the reference's external SurrealDB instance (`image` table
   ``clip.rs:124``). The ACTIVE segment is appended in place.
 - ``seg_NNNNN.paths`` — JSON-lines: one JSON-encoded image path per row
   (handles any filename byte, appended in lockstep with the .bin)
+- ``seg_NNNNN.pax``   — binary path sidecar for SEALED segments: a small
+  header + one NUL-joined UTF-8 blob of all row paths. Reading it is two C
+  calls (``decode`` + ``split``) instead of 131k ``json.loads`` — at 10M
+  rows this turns the 38 s store-open / 29 s liveness JSON-line parse
+  (round-3 lifecycle table) into ~1-2 s total. The JSONL file stays the
+  append format and the authority: a missing/corrupt sidecar falls back to
+  JSONL and is rebuilt opportunistically, so version-2 stores written
+  before the sidecar existed load unchanged.
 - ``manifest.json``   — dim + SEALED segment list + active segment name,
   written atomically and ONLY when a segment seals — appends are O(rows
   appended), not O(corpus), unlike a rewrite-the-manifest-per-append design.
+
+Open is O(segments), not O(rows): sealed row counts come from the manifest
+and the in-memory dedup path set is built LAZILY on the first call that
+needs it (append / filter_new / existing / tombstone) — a server restart
+that only restores the index never pays for it.
 
 10M-scale behavior (VERDICT round-1 hardening): chunk-500 ingest appends
 into the active segment until it reaches ``seg_rows`` (default 131072), then
@@ -36,14 +49,34 @@ from __future__ import annotations
 import json
 import logging
 import os
+import struct
 import tempfile
-from typing import Iterator, List, Sequence, Set, Tuple
+from typing import Iterator, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
 log = logging.getLogger(__name__)
 
 DEFAULT_SEG_ROWS = 131072
+
+# binary path-sidecar header: magic, then little-endian u64 rows + u64 blob
+# bytes; the blob is the rows' paths UTF-8(surrogateescape)-encoded and
+# NUL-joined (NUL cannot appear in a POSIX path)
+PAX_MAGIC = b"ISXPAX1\n"
+_PAX_HDR = struct.Struct("<QQ")
+
+
+def _encode_paths(paths: Sequence[str]) -> Optional[bytes]:
+    """NUL-joined path blob, or None if any path can't be represented
+    (contains NUL — impossible for real files; such a segment just keeps
+    using its JSONL)."""
+    enc = []
+    for p in paths:
+        b = p.encode("utf-8", "surrogateescape")
+        if b"\x00" in b:
+            return None
+        enc.append(b)
+    return b"\x00".join(enc)
 
 
 class EmbeddingStore:
@@ -67,14 +100,17 @@ class EmbeddingStore:
         # are ignored, so a crash between compact's manifest commit and the
         # tombstone-log removal can never corrupt liveness
         self._tomb_gen = 0
+        # dedup path set: built LAZILY by _ensure_path_set() on the first
+        # call that needs it — opening a 10M-row store for an index restore
+        # never parses a path file
         self._path_set: Set[str] = set()
+        self._path_set_ready = False
         # sealed-segment path cache for the multi-pass startup (see
         # _read_seg_paths); dropped via release_path_cache()
         self._paths_cache: dict = {}
         self._cache_paths = True
         os.makedirs(directory, exist_ok=True)
         self._load()
-        self._apply_tombstones_to_path_set()
 
     def _all_segs(self) -> List[Tuple[str, int, str]]:
         segs = list(self._sealed)
@@ -101,13 +137,28 @@ class EmbeddingStore:
         # ONE pass over the segment path files (round-2 review: the old
         # two-loop version read and JSON-parsed every path file twice on
         # startup): collect each tombstoned path's occurrence rows, then
-        # derive liveness from the occurrence lists alone.
+        # derive liveness from the occurrence lists alone. Segments with a
+        # .pax sidecar are scanned WITHOUT decoding: the membership test
+        # runs on raw path bytes (tombstones are re-encoded once), so the
+        # 10M-row pass is one split + one lean set-lookup loop.
+        tomb_bytes = {
+            p.encode("utf-8", "surrogateescape"): p for p in last_at
+        }
         occurrences: dict = {p: [] for p in last_at}
         base = 0
         for seg in self._all_segs():
-            for i, p in enumerate(self._read_seg_paths(seg)):
-                if p in last_at:
-                    occurrences[p].append(base + i)
+            raw = None
+            if self._paths_cache.get(seg[0]) is None:
+                raw = self._read_pax_bytes(seg)
+            if raw is not None:
+                for i, b in enumerate(raw):
+                    hit = tomb_bytes.get(b)
+                    if hit is not None:
+                        occurrences[hit].append(base + i)
+            else:
+                for i, p in enumerate(self._read_seg_paths(seg)):
+                    if p in last_at:
+                        occurrences[p].append(base + i)
             base += seg[1]
         live = np.ones(base, bool)
         dead_paths = set()
@@ -123,10 +174,20 @@ class EmbeddingStore:
                     live[g] = False
         return live, dead_paths
 
-    def _apply_tombstones_to_path_set(self) -> None:
+    def _ensure_path_set(self) -> None:
+        """Build the in-memory dedup set on first use: union of every
+        segment's paths minus tombstone-dead ones. Deferred from __init__
+        so a restore-only open stays O(segments); the first scan/append
+        pays it once (it is dwarfed by the scan itself)."""
+        if self._path_set_ready:
+            return
+        s: Set[str] = set()
+        for seg in self._all_segs():
+            s.update(self._read_seg_paths(seg))
         _, dead = self.liveness()
-        for p in dead:
-            self._path_set.discard(p)
+        s.difference_update(dead)
+        self._path_set = s
+        self._path_set_ready = True
 
     def clear_exclusion(self, paths: Sequence[str]) -> int:
         """Undo explicit exclusions: appends a current-generation
@@ -177,17 +238,16 @@ class EmbeddingStore:
                 raise ValueError(f"store dim {m['dim']} != requested {self.dim}")
             self._tomb_gen = m.get("tombstone_gen", 0)
             if m.get("version", 1) == 1:
-                # v1: every shard is a sealed npy segment
+                # v1: every shard is a sealed npy segment (row counts are
+                # not in the v1 manifest — the path files must be read)
                 for shard in m["shards"]:
                     paths = self._read_paths_v1(shard)
                     self._sealed.append((shard, len(paths), "npy"))
-                    self._path_set.update(paths)
                     self._rows += len(paths)
                 self._start_active(len(m["shards"]))
                 return
             for seg in m["sealed"]:
                 self._sealed.append((seg["name"], seg["rows"], seg.get("format", "bin")))
-                self._path_set.update(self._read_seg_paths(self._sealed[-1]))
                 self._rows += seg["rows"]
             self._active = m["active"]
             self._recover_active()
@@ -250,7 +310,6 @@ class EmbeddingStore:
                 f.truncate(keep)
         self._active_rows = rows
         self._rows += rows
-        self._path_set.update(lines[:rows])
 
     def _write_manifest(self) -> None:
         data = json.dumps(
@@ -275,6 +334,73 @@ class EmbeddingStore:
         with open(os.path.join(self.directory, shard + ".paths.json")) as f:
             return json.load(f)
 
+    # -- binary path sidecar --------------------------------------------------
+
+    def _write_pax(self, name: str, paths: Sequence[str]) -> bool:
+        """Atomically write ``name.pax`` for a sealed segment. Returns False
+        (and writes nothing) for unrepresentable paths."""
+        blob = _encode_paths(paths)
+        if blob is None:
+            return False
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(PAX_MAGIC)
+            f.write(_PAX_HDR.pack(len(paths), len(blob)))
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._file(name, ".pax"))
+        return True
+
+    def _read_pax_blob(self, seg: Tuple[str, int, str]) -> Optional[bytes]:
+        """The segment's raw path blob, or None when the sidecar is absent
+        or fails validation (falls back to JSONL either way)."""
+        name, rows, _fmt = seg
+        path = self._file(name, ".pax")
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        hdr_end = len(PAX_MAGIC) + _PAX_HDR.size
+        if len(data) < hdr_end or not data.startswith(PAX_MAGIC):
+            log.warning("store: bad sidecar header %s — using JSONL", path)
+            return None
+        n, blob_len = _PAX_HDR.unpack_from(data, len(PAX_MAGIC))
+        blob = data[hdr_end:]
+        if n != rows or len(blob) != blob_len:
+            log.warning(
+                "store: sidecar %s disagrees with manifest (%d rows vs %d, "
+                "%d blob bytes vs %d) — using JSONL",
+                path, n, rows, len(blob), blob_len,
+            )
+            return None
+        return blob
+
+    def _read_pax_bytes(self, seg: Tuple[str, int, str]) -> Optional[List[bytes]]:
+        if seg[0] == self._active:
+            return None  # active JSONL is the only authority while growing
+        blob = self._read_pax_blob(seg)
+        if blob is None:
+            return None
+        rows_b = blob.split(b"\x00") if blob else []
+        if len(rows_b) != seg[1] and not (seg[1] == 0 and not rows_b):
+            log.warning("store: sidecar %s row mismatch — using JSONL", seg[0])
+            return None
+        return rows_b
+
+    def _read_pax(self, seg: Tuple[str, int, str]) -> Optional[List[str]]:
+        blob = self._read_pax_blob(seg)
+        if blob is None:
+            return None
+        if not blob and seg[1] <= 1:
+            return [""] * seg[1]
+        out = blob.decode("utf-8", "surrogateescape").split("\x00")
+        if len(out) != seg[1]:
+            log.warning("store: sidecar %s row mismatch — using JSONL", seg[0])
+            return None
+        return out
+
     def _read_seg_paths(self, seg: Tuple[str, int, str]) -> List[str]:
         name, rows, fmt = seg
         # Startup makes several passes over the path files (dedup set,
@@ -286,16 +412,24 @@ class EmbeddingStore:
         cached = self._paths_cache.get(name)
         if cached is not None:
             return cached
-        if fmt == "npy":
-            out = self._read_paths_v1(name)
-        else:
-            out = []
-            with open(self._file(name, ".paths"), "rb") as f:
-                for ln in f:
-                    ln = ln.strip()
-                    if ln:
-                        out.append(json.loads(ln))
-            out = out[:rows]
+        out = None
+        if name != self._active:
+            out = self._read_pax(seg)
+        if out is None:
+            if fmt == "npy":
+                out = self._read_paths_v1(name)
+            else:
+                out = []
+                with open(self._file(name, ".paths"), "rb") as f:
+                    for ln in f:
+                        ln = ln.strip()
+                        if ln:
+                            out.append(json.loads(ln))
+                out = out[:rows]
+            if name != self._active:
+                # sealed segments are immutable: migrate pre-sidecar stores
+                # (and heal corrupt sidecars) so the JSONL parse is paid once
+                self._write_pax(name, out)
         if name != self._active and self._cache_paths:
             self._paths_cache[name] = out
         return out
@@ -320,9 +454,11 @@ class EmbeddingStore:
 
     def existing(self, paths: Sequence[str]) -> Set[str]:
         """Which of `paths` are already stored (the clip.rs:74-87 dedup)."""
+        self._ensure_path_set()
         return {p for p in paths if p in self._path_set}
 
     def filter_new(self, paths: Sequence[str]) -> List[str]:
+        self._ensure_path_set()
         return [p for p in paths if p not in self._path_set]
 
     def append(self, paths: Sequence[str], embeddings: np.ndarray) -> int:
@@ -330,6 +466,7 @@ class EmbeddingStore:
         embeddings = np.asarray(embeddings, np.float32)
         assert embeddings.ndim == 2 and embeddings.shape[1] == self.dim, embeddings.shape
         assert len(paths) == embeddings.shape[0], (len(paths), embeddings.shape)
+        self._ensure_path_set()
         seen: Set[str] = set()
         keep = []
         for i, p in enumerate(paths):
@@ -361,7 +498,11 @@ class EmbeddingStore:
         for ext in (".bin", ".paths"):
             with open(self._file(self._active, ext), "ab") as f:
                 os.fsync(f.fileno())
-        self._sealed.append((self._active, self._active_rows, "bin"))
+        sealed = (self._active, self._active_rows, "bin")
+        # the sidecar is written from the durable JSONL (not memory), so it
+        # can never disagree with what recovery would reconstruct
+        self._write_pax(self._active, self._read_seg_paths(sealed))
+        self._sealed.append(sealed)
         log.info("store: sealed %s (%d rows)", self._active, self._active_rows)
         self._start_active(len(self._sealed))
 
@@ -382,6 +523,7 @@ class EmbeddingStore:
         resurrect an explicitly removed photo. Plain tombstones (prune of a
         vanished file) stay resurrectable: if the file comes back, re-scan
         re-adds it."""
+        self._ensure_path_set()
         recorded = 0
         with open(os.path.join(self.directory, self.TOMBSTONES), "a") as f:
             for p in paths:
@@ -403,6 +545,7 @@ class EmbeddingStore:
         explicitly removed again. Rescans skip these (``excluded_paths``)
         even though liveness is unaffected. Paths with live rows must go
         through :meth:`tombstone` instead (skipped here)."""
+        self._ensure_path_set()
         todo = [p for p in paths if p not in self._path_set]
         if not todo:
             return 0
@@ -499,6 +642,7 @@ class EmbeddingStore:
                     f.write(json.dumps(paths[i]) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+            self._write_pax(name, [paths[i] for i in live])
             new_segs.append((name, len(live), "bin"))
             kept += len(live)
 

@@ -487,6 +487,78 @@ def test_store_clean_restart_never_rewrites(tmp_path, rng):
     assert os.stat(paths_f).st_mtime_ns == stat_before.st_mtime_ns
 
 
+def test_store_pax_sidecar_written_and_used(tmp_path, rng):
+    """Sealing writes a binary .pax path sidecar; reopening reads it (not
+    the JSONL); deleting it falls back to JSONL and heals it back."""
+    import os
+
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=100)
+    paths, emb = make_data(rng, 250)  # 2 sealed segments + active(50)
+    for lo in range(0, 250, 50):
+        store.append(paths[lo : lo + 50], emb[lo : lo + 50])
+    pax = sorted(f for f in os.listdir(tmp_path) if f.endswith(".pax"))
+    assert len(pax) == 2  # one per SEALED segment, none for the active
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=100)
+    got_paths, got_emb = store2.load_all()
+    assert got_paths == paths
+    np.testing.assert_allclose(got_emb, emb, rtol=1e-6)
+
+    # kill one sidecar: reopen must fall back to JSONL, agree, and heal
+    os.remove(os.path.join(tmp_path, pax[0]))
+    store3 = EmbeddingStore(str(tmp_path), DIM, seg_rows=100)
+    assert store3.load_all()[0] == paths
+    assert os.path.exists(os.path.join(tmp_path, pax[0]))
+
+    # corrupt sidecar (truncated blob) must be detected, not trusted
+    with open(os.path.join(tmp_path, pax[1]), "r+b") as f:
+        f.truncate(os.path.getsize(os.path.join(tmp_path, pax[1])) - 7)
+    store4 = EmbeddingStore(str(tmp_path), DIM, seg_rows=100)
+    assert store4.load_all()[0] == paths
+
+
+def test_store_pax_non_utf8_paths_roundtrip(tmp_path, rng):
+    """Paths with undecodable filesystem bytes (surrogateescape strs, the
+    os.walk convention) survive the binary sidecar round-trip."""
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=4)
+    weird = [
+        "/pics/caf\udce9.jpg",  # latin-1 0xe9 via surrogateescape
+        "/pics/new\nline.jpg",  # newline is legal in POSIX paths
+        "/pics/sp ace \t.jpg",
+        "/pics/unicode-é中.jpg",
+    ]
+    emb = rng.standard_normal((4, DIM)).astype(np.float32)
+    store.append(weird, emb)  # seals exactly one segment
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=4)
+    assert store2.load_all()[0] == weird
+    assert store2.existing(weird) == set(weird)
+
+
+def test_store_open_is_lazy_and_liveness_uses_bytes(tmp_path, rng):
+    """Open never parses sealed path files (O(segments) restart); the dedup
+    set builds on first use; the bytes-level liveness pass agrees with the
+    decoded one, including re-add-after-tombstone."""
+    store = EmbeddingStore(str(tmp_path), DIM, seg_rows=50)
+    paths, emb = make_data(rng, 120)
+    store.append(paths, emb)
+    store.tombstone(paths[10:40])
+    store.append(paths[20:25], emb[20:25])  # re-add 5 after tombstone
+
+    store2 = EmbeddingStore(str(tmp_path), DIM, seg_rows=50)
+    assert not store2._path_set_ready  # open built no dedup set
+    live, dead = store2.liveness()
+    # sealed segments went through the bytes fast path (cache untouched)
+    assert not store2._path_set_ready
+    assert dead == set(paths[10:20] + paths[25:40])
+    assert int(live.sum()) == 120 + 5 - 30  # 125 rows, 30 dead
+    # re-added rows are the LAST occurrences (rows 120..124)
+    assert live[120:125].all()
+    assert not live[20:25].any()
+    # first dedup call builds the set and honors tombstones
+    assert store2.filter_new(paths[:30]) == paths[10:20] + paths[25:30]
+    assert store2._path_set_ready
+
+
 def test_store_v1_backward_compat(tmp_path, rng):
     """A version-1 store (shard_*.npy per append) loads transparently and
     new appends land in a v2 active segment."""
