@@ -351,6 +351,10 @@ class VectorIndex:
         self.twostage_certified = 0
         self.twostage_fallbacks = 0
         self.sketch_incremental = 0  # appends absorbed without a rebuild
+        # build-time certifiability gate (build_sketch min_certifiable):
+        # last estimate (None until a gated build ran) + skip count
+        self.sketch_certifiable_est: Optional[float] = None
+        self.twostage_gate_skips = 0
         # consecutive certificate failures; at TWOSTAGE_DISABLE_AFTER the
         # sketch is dropped until the next build (see search_twostage)
         self._twostage_consec_failures = 0
@@ -787,7 +791,8 @@ class VectorIndex:
     # -- two-stage certified-exact search (index/twostage.py) ------------------
 
     def build_sketch(
-        self, d_s: int = 64, sample_rows: int = 8192, dtype: str = "float32"
+        self, d_s: int = 64, sample_rows: int = 8192, dtype: str = "float32",
+        min_certifiable: float = 0.0, est_k: int = 1000,
     ) -> None:
         """Build the sketch for certified two-stage exact search.
 
@@ -799,7 +804,16 @@ class VectorIndex:
         ``dtype="bfloat16"`` stores the sketch in bf16 — halves stage-1
         HBM bytes per query (still certified-exact: the rounding cost is
         folded into a data-derived UB inflation, twostage._sketch_chunk) —
-        worth it when the certificate margin affords ~0.004."""
+        worth it when the certificate margin affords ~0.004.
+
+        ``min_certifiable`` > 0 gates PUBLICATION on the build-time
+        certifiability estimate (twostage.estimate_certifiable_fraction,
+        replayed on the row sample with ``est_k``-fraction-scaled ranks):
+        a spectrally flat corpus then never serves a sketch — queries go
+        straight to the full scan instead of paying
+        TWOSTAGE_DISABLE_AFTER failed ~40 ms bound passes before adaptive
+        disable triggers. The estimate lands in
+        ``sketch_certifiable_est`` either way (served to /metrics)."""
         from image_search_tpu.index import twostage
 
         to_bf16 = dtype in ("bfloat16", "bf16")
@@ -816,6 +830,29 @@ class VectorIndex:
             _gather_rows(slabs, scales, idx), np.float32
         )
         basis = jnp.asarray(twostage.fit_basis(sample, d_s))
+        if min_certifiable > 0.0:
+            est = twostage.estimate_certifiable_fraction(
+                sample, np.asarray(basis), size, k=est_k,
+                candidate_rows=twostage.DEFAULT_BLOCKS * twostage.BLOCK,
+                fs_slack=twostage.FULL_SCAN_SLACK[
+                    jnp.dtype(slabs[0].dtype).name
+                ],
+                # bf16 sketch storage costs a data-derived ub_slack that is
+                # not known yet — charge the measured-scale 0.01 bound
+                ub_slack=0.01 if to_bf16 else 0.0,
+            )
+            self.sketch_certifiable_est = est
+            if est < min_certifiable:
+                logging.getLogger(__name__).warning(
+                    "two-stage sketch NOT published: estimated certifiable "
+                    "fraction %.2f < %.2f gate (corpus spectrum too flat — "
+                    "queries will use the full scan; round-3 verdict #7)",
+                    est, min_certifiable,
+                )
+                with self._lock:
+                    self._sketch = None
+                    self.twostage_gate_skips += 1
+                return
         sketches, resid, slack = [], [], jnp.zeros((), jnp.float32)
         for i, slab in enumerate(slabs):
             sc = None if scales is None else scales[i]

@@ -100,6 +100,58 @@ FULL_SCAN_SLACK = {
 }
 
 
+def estimate_certifiable_fraction(
+    sample_rows: np.ndarray,    # [n, D] f32 (dequantized, ~unit) row sample
+    basis: np.ndarray,          # [D, d_s] the fitted orthonormal basis
+    corpus_size: int,
+    k: int,
+    candidate_rows: int,
+    fs_slack: float,
+    ub_slack: float = 0.0,
+    n_queries: int = 256,
+) -> float:
+    """Predict, at build time, the fraction of queries the certificate will
+    pass — so a spectrally flat corpus can skip PUBLISHING the sketch
+    instead of paying TWOSTAGE_DISABLE_AFTER failed bound passes (~40 ms
+    each at 10M) before adaptive disable kicks in (round-3 verdict item #7).
+
+    Method: replay the certificate on the row sample itself. Sample rows
+    stand in for queries (leave-self-out); ranks are FRACTION-scaled so the
+    sample-size quantiles estimate the corpus-size ones: tau becomes the
+    ceil(k/N * n)-th best exact score, rest_max the (c/N * n + 1)-th best
+    UB. This is row-granularity (the v1 selection) — the shipped block
+    selection's certificate is at least as tight (twostage_topk_block
+    module comment), so the estimate errs toward NOT publishing, which is
+    the cheap mistake (fallback = full scan, always exact).
+
+    Purely advisory: the gate affects SPEED only — a published sketch is
+    still certified per query, an unpublished one just means full scans."""
+    x = np.asarray(sample_rows, np.float32)
+    n = x.shape[0]
+    if n < 32 or corpus_size <= 0:
+        return 1.0  # tiny corpora fall back by construction anyway
+    w = np.asarray(basis, np.float32)
+    s = x @ w                                             # [n, d_s]
+    t = np.sqrt(
+        np.maximum((x * x).sum(1) - (s * s).sum(1), 0.0) + SLACK_T
+    )                                                     # [n]
+    qi = np.unique(np.linspace(0, n - 1, min(n_queries, n)).astype(np.int64))
+    q, qs, q_res = x[qi], s[qi], t[qi]
+    exact = q @ x.T                                       # [nq, n]
+    infl = np.sqrt((qs * qs).sum(1)) * ub_slack + SLACK   # [nq]
+    ub = qs @ s.T + q_res[:, None] * t[None, :] + infl[:, None]
+    # leave-self-out: a text query is not a corpus row, and self's 1.0
+    # score would make every flat corpus look certifiable
+    ar = np.arange(len(qi))
+    exact[ar, qi] = -np.inf
+    ub[ar, qi] = -np.inf
+    k_s = max(1, round(k / corpus_size * n))
+    c_s = int(min(max(k_s, round(candidate_rows / corpus_size * n)), n - 2))
+    tau = np.partition(exact, n - k_s, axis=1)[:, n - k_s]
+    rest = np.partition(ub, n - (c_s + 1), axis=1)[:, n - (c_s + 1)]
+    return float(np.mean(rest <= tau - fs_slack))
+
+
 class SketchState(NamedTuple):
     """Device-resident sketch aligned with the index's emb slabs."""
 

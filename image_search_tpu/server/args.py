@@ -45,6 +45,11 @@ class ServerArgs:
     # default stays 4 — biggest per-query win, and the bf16 sketch
     # measured certified only to B=1 at the default budget
     twostage_max_batch: int = 4
+    # build-time certifiability gate: a sketch whose estimated certifiable
+    # query fraction (replayed on the row sample) is below this is NOT
+    # published — a flat corpus then never pays a doomed bound pass. 0
+    # disables the gate (always publish; adaptive disable still protects)
+    twostage_min_certifiable: float = 0.5
     prune_on_scan: bool = False  # tombstone indexed images whose files vanished
     batch_window_ms: float = 0.0  # >0: coalesce concurrent searches
     static_dir: Optional[str] = None
@@ -119,6 +124,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "amortizes its read across the batch). f32 sketches "
                         "measured certified through 8; keep <=1 for "
                         "--sketch-dtype bfloat16 under heavy batching")
+    p.add_argument("--twostage-min-certifiable", type=float,
+                   default=d.twostage_min_certifiable,
+                   help="skip publishing a two-stage sketch whose build-time "
+                        "estimated certifiable query fraction is below this "
+                        "(flat corpora then go straight to the full scan "
+                        "instead of paying failed bound passes); 0 disables")
     p.add_argument("--prune-on-scan", action="store_true", default=d.prune_on_scan,
                    help="each scan also tombstones indexed images whose files "
                         "no longer exist (the reference keeps them forever)")

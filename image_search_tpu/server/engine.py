@@ -96,7 +96,9 @@ class SearchEngine:
         if getattr(args, "search_twostage", False) and len(self.index):
             # restored rows: certified path from query 1
             self.index.build_sketch(
-                dtype=getattr(args, "sketch_dtype", "float32")
+                dtype=getattr(args, "sketch_dtype", "float32"),
+                min_certifiable=getattr(args, "twostage_min_certifiable", 0.5),
+                est_k=args.k,
             )
         log.info(
             "engine ready: model=%s dim=%d corpus=%d devices=%d",
@@ -222,6 +224,14 @@ class SearchEngine:
             "twostage_sketch_incremental_total",
             float(self.index.sketch_incremental),
         )
+        global_metrics.gauge(
+            "twostage_gate_skips_total", float(self.index.twostage_gate_skips)
+        )
+        if self.index.sketch_certifiable_est is not None:
+            global_metrics.gauge(
+                "twostage_certifiable_est",
+                round(self.index.sketch_certifiable_est, 4),
+            )
 
     def search(
         self, query: str, referenced_images: Sequence[str] = (), k: Optional[int] = None
@@ -758,7 +768,11 @@ class SearchEngine:
             # the certified fast path (one streaming pass per slab)
             with global_metrics.timer("sketch_build"):
                 self.index.build_sketch(
-                    dtype=getattr(self.args, "sketch_dtype", "float32")
+                    dtype=getattr(self.args, "sketch_dtype", "float32"),
+                    min_certifiable=getattr(
+                        self.args, "twostage_min_certifiable", 0.5
+                    ),
+                    est_k=self.args.k,
                 )
         global_metrics.inc("scans")
         global_metrics.inc("images_embedded", stats.embedded)

@@ -791,3 +791,53 @@ def test_share_splits_union_by_real_queries_not_pad_copies(rng):
     # blocks' own pick; certificates may differ — the pad-aware share is
     # what keeps serving's padded single query as tight as a solo call
     np.testing.assert_array_equal(np.asarray(i8[1:]), np.asarray(i8[:1]).repeat(7, 0))
+
+
+# -- build-time certifiability gate (round-3 verdict #7) ----------------------
+
+
+def test_certifiable_estimate_separates_flat_from_concentrated(rng):
+    """The build-time estimator must read ~0 on a flat corpus and ~1 on a
+    concentrated one (same spectra the serving gate decides between)."""
+    from image_search_tpu.index import twostage
+
+    n = 4096
+    for gen, lo, hi in ((flat, 0.0, 0.05), (concentrated, 0.9, 1.0)):
+        x = gen(rng, n)
+        basis = twostage.fit_basis(x[:2048], 64)
+        est = twostage.estimate_certifiable_fraction(
+            x, basis, corpus_size=10_000_000, k=1000,
+            candidate_rows=twostage.DEFAULT_BLOCKS * twostage.BLOCK,
+            fs_slack=0.0,
+        )
+        assert lo <= est <= hi, (gen.__name__, est)
+
+
+def test_gate_refuses_flat_sketch_and_queries_skip_bound_pass(rng):
+    """With min_certifiable, a flat corpus never publishes a sketch: no
+    doomed ~40 ms bound passes before adaptive disable — queries go
+    straight to the (exact) full scan. A concentrated corpus publishes
+    and certifies as before."""
+    n, k = 20_000, 50
+    emb = flat(rng, n)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch(min_certifiable=0.5)
+    assert not idx.sketch_fresh          # refused
+    assert idx.twostage_gate_skips == 1
+    assert idx.sketch_certifiable_est is not None
+    assert idx.sketch_certifiable_est < 0.5
+    q = flat(rng, 2)
+    got = idx.search_twostage(q, k)      # no sketch: straight full scan
+    assert idx._twostage_consec_failures == 0  # no certificate was risked
+    assert_same_answer(got, idx.search(q, k))
+
+    idx2 = VectorIndex(DIM)
+    idx2.add([f"c{i}" for i in range(n)], concentrated(rng, n))
+    idx2.build_sketch(min_certifiable=0.5)
+    assert idx2.sketch_fresh             # published
+    assert idx2.sketch_certifiable_est >= 0.5
+    q2 = concentrated(rng, 2)
+    got2 = idx2.search_twostage(q2, k, candidates=512)
+    assert idx2.twostage_certified == 1
+    assert_same_answer(got2, idx2.search(q2, k))
