@@ -231,6 +231,7 @@ def py_from_js(v):
 
 _PUNCT = [
     "===", "!==", "...", "=>", "==", "!=", "<=", ">=", "&&", "||", "++", "--",
+    "+=", "-=", "*=", "/=",
     "(", ")", "{", "}", "[", "]", ";", ",", ".", "?", ":", "=", "<", ">",
     "+", "-", "*", "/", "%", "!",
 ]
@@ -572,6 +573,14 @@ class Parser:
             self.next()
             right = self.parse_assignment()
             return ("assign", left, right)
+        if self.at_punct("+=", "-=", "*=", "/="):
+            if left[0] not in _ASSIGNABLE:
+                raise self.err("invalid assignment target")
+            op = self.next().value[0]  # the underlying binop
+            right = self.parse_assignment()
+            # desugar: `a op= b` -> `a = a op b` (the target expression is
+            # re-evaluated, fine for the ident/member targets we support)
+            return ("assign", left, ("binop", op, left, right))
         return left
 
     def parse_ternary(self):
@@ -602,6 +611,15 @@ class Parser:
         left = self.parse_relational()
         while self.at_punct("===", "!==", "==", "!="):
             op = self.next().value
+            if op in ("==", "!="):
+                # loose equality's coercion table is NOT implemented;
+                # silently treating it as strict would be exactly the
+                # silent-divergence class the conformance suite exists to
+                # prevent — fail at parse time instead
+                raise JSSyntaxError(
+                    f"{self.filename}: loose equality {op!r} is not "
+                    f"supported (use {op[0] * 2 + '='})"
+                )
             left = ("binop", op, left, self.parse_relational())
         return left
 
@@ -905,6 +923,30 @@ def _array_method(interp, arr: JSArray, name: str):
         return lambda fn: any(js_truthy(fn(v)) for v in arr)
     if name == "every":
         return lambda fn: all(js_truthy(fn(v)) for v in arr)
+    if name == "splice":
+        def splice(start=0.0, count=None, *items):
+            n = len(arr)
+            s0 = int(start)
+            s0 = max(n + s0, 0) if s0 < 0 else min(s0, n)
+            c = n - s0 if count is None else max(int(count), 0)
+            removed = JSArray(arr[s0 : s0 + c])
+            arr[s0 : s0 + c] = list(items)
+            return removed
+        return splice
+    if name == "find":
+        def find(fn):
+            for i, v in enumerate(arr):
+                if js_truthy(fn(v, float(i)) if _arity(fn) > 1 else fn(v)):
+                    return v
+            return undefined
+        return find
+    if name == "findIndex":
+        def find_index(fn):
+            for i, v in enumerate(arr):
+                if js_truthy(fn(v, float(i)) if _arity(fn) > 1 else fn(v)):
+                    return float(i)
+            return -1.0
+        return find_index
     raise JSThrow(make_error(f"array has no method {name!r}", "TypeError"))
 
 
@@ -1021,8 +1063,29 @@ class Interpreter:
             loop_env = Environment(env)
             if init is not None:
                 self.exec_stmt(init, loop_env)
+            # `let`/`const` loop variables get a FRESH binding per iteration
+            # (real-JS semantics: a closure made in iteration i captures i's
+            # value, not the post-loop one); the update runs in the NEXT
+            # iteration's env so the captured value excludes the increment.
+            # `var` keeps the single shared binding, also per real JS.
+            per_iter = (
+                init is not None
+                and init[0] == "vardecl"
+                and init[1] in ("let", "const")
+            )
+
+            def _fresh(prev):
+                nxt = Environment(env)
+                for name, _ in init[2]:
+                    nxt.declare(name, prev.lookup(name))
+                return nxt
+
+            if per_iter:
+                loop_env = _fresh(loop_env)
             while cond is None or js_truthy(self.eval(cond, loop_env)):
                 self.exec_stmt(body, Environment(loop_env) if body[0] == "block" else loop_env)
+                if per_iter:
+                    loop_env = _fresh(loop_env)
                 if update is not None:
                     self.eval(update, loop_env)
         elif kind == "forof":
