@@ -1,0 +1,311 @@
+"""Sketch-accelerated near-duplicate scan: all pairs >= threshold, certified.
+
+The legacy scan (`VectorIndex.find_near_duplicates`) self-queries every
+row: O(N) fused top-k searches, each an O(N) slab sweep — measured 97-165 s
+at 1M rows (benchmarks/dup_scan_1m.json) and ~hours extrapolated at 10M.
+This module replaces the N^2 full-dimension sweep with the two-stage
+sketch's pair bound (round-3 verdict item #2):
+
+  phase 1 — block prune (ops/blockmax.py, Pallas): for every pair of
+    128-row blocks, bound max-pair-dot by
+        blockmax(sketch dots) + maxResid_A * maxResid_B + pair_slack
+    in d_s=64 sketch space (128 B/row vs 768 B). Pairs of blocks whose
+    bound is < threshold PROVABLY contain no qualifying pair (the same
+    Cauchy-Schwarz decomposition as twostage.py, see below). The sweep
+    reads sketches only and writes packed bitmasks — at 10M rows that is
+    ~80-160 s of MXU time instead of hours.
+
+  phase 2 — exact rescore: surviving block pairs (always including the
+    nb diagonal blocks — a block's self-bound is ~1) are gathered from
+    the slab and rescored with a HIGHEST-precision f32 dot; pairs
+    scoring >= threshold are emitted as (i, j, score), i < j, each once.
+
+Guarantee: with rows r (the dequantized stored vectors the legacy scan
+also scores), every pair with true dot >= threshold + ~2e-4 is emitted
+and none below threshold - ~2e-4 (slack bounds: module docstrings here
+and in ops/blockmax.py). Unlike the legacy scan the output is NOT
+truncated to a per-row neighbor count — it is the complete pair set.
+
+Worst case: on spectrally flat corpora residual products alone exceed
+dup thresholds, nothing prunes, and the rescore would degenerate to an
+exact N^2 — ``DupScanBailout`` fires when surviving block pairs exceed
+``max_rescore_frac`` of all block pairs, and the caller falls back to
+the legacy scan (engine.find_duplicate_groups). Correctness never
+depends on the corpus; only the speedup does.
+
+No reference counterpart: SurrealDB's MTREE (search.rs:70-77) cannot
+self-join; /duplicates is an extension endpoint.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_search_tpu.index.twostage import SLACK, SketchState
+from image_search_tpu.ops.blockmax import BLOCK, COLS_TILE, ROWS_TILE, blockpair_mask
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+HIGHEST = jax.lax.Precision.HIGHEST
+
+# rows per phase-1 kernel call: amortizes re-reading the full sketch
+# array (col side) per call — HBM col traffic is (N / ROWS_PER_CALL) * N *
+# 128 B. 262144 keeps the row tile at 32 MB VMEM-side slices and ~38
+# calls at 10M. Must be a multiple of both ROWS_TILE and COLS_TILE.
+ROWS_PER_CALL = 262_144
+assert ROWS_PER_CALL % ROWS_TILE == 0 and ROWS_PER_CALL % COLS_TILE == 0
+
+
+class DupScanBailout(RuntimeError):
+    """Sketch bound prunes too little on this corpus — use the legacy scan."""
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.jit
+def _prep_slab(sketch, resid, pen, start, size):
+    """Zero the sketch rows that must never produce a pair: tombstoned
+    (pen == NEG_INF) and beyond the live size. Returns (bf16 sketch,
+    zeroed resid, max ||s - bf16(s)|| over kept rows)."""
+    n = sketch.shape[0]
+    live = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
+    if pen is not None:
+        live = live & (pen >= 0.0)
+    s32 = sketch.astype(jnp.float32)
+    s32 = jnp.where(live[:, None], s32, 0.0)
+    t = jnp.where(live, resid.astype(jnp.float32), 0.0)
+    s16 = s32.astype(jnp.bfloat16)
+    delta = jnp.sqrt(jnp.sum((s32 - s16.astype(jnp.float32)) ** 2, axis=1))
+    return s16, t, jnp.max(delta)
+
+
+@jax.jit
+def _block_max(t_pad):
+    return t_pad.reshape(-1, BLOCK).max(axis=1)
+
+
+def _pair_slack(max_delta: float) -> float:
+    """Additive UB inflation covering both operands' bf16 rounding plus
+    f32 accumulation error: |s_i.s_j - bf16dot(s~_i, s~_j)| <=
+    delta_i ||s_j|| + delta_j ||s~_i|| <= 2 * 1.01 * max_delta (sketch
+    norms <= ||r|| <= 1 + 2^-8), and gamma_64 accumulation < SLACK."""
+    return 2.0 * 1.01 * float(max_delta) + SLACK
+
+
+def _decode_words(words: np.ndarray, row_block0: int):
+    """Packed int32 [rb, W] -> (bi, bj) int64 arrays (bit layout:
+    ops/blockmax.py module docstring)."""
+    rloc, wc = np.nonzero(words)
+    if len(rloc) == 0:
+        return (np.empty(0, np.int64),) * 2
+    w = words[rloc, wc].astype(np.uint32)[:, None]
+    bits = (w >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    sel = bits.astype(bool)
+    bi = np.broadcast_to((rloc + row_block0)[:, None], sel.shape)[sel]
+    bj = (wc[:, None] * 32 + np.arange(32)[None, :])[sel]
+    return bi.astype(np.int64), bj.astype(np.int64)
+
+
+def _rescore_chunk_fn(slabs, scales, pens, size, bi, bj, cap: int):
+    """PB surviving block pairs -> (top-cap masked scores, flat indices,
+    count >= thr is computed by the CALLER from the returned values)."""
+    from image_search_tpu.index.index import _gather_1d, _gather_rows
+    from image_search_tpu.ops.topk import exact_topk
+
+    pb = bi.shape[0]
+    ar = jnp.arange(BLOCK, dtype=jnp.int32)[None, :]
+    gi = bi[:, None] * BLOCK + ar            # [PB, 128] global row ids
+    gj = bj[:, None] * BLOCK + ar
+    a = _gather_rows(slabs, scales, gi.reshape(-1)).reshape(pb, BLOCK, -1)
+    b = _gather_rows(slabs, scales, gj.reshape(-1)).reshape(pb, BLOCK, -1)
+    # HIGHEST: the emitted score must match the true f32 dot to ~1e-5 so
+    # the module-level guarantee band stays ~2e-4 (TPU DEFAULT would cast
+    # operands to bf16: ~4e-3 error, 20x the band)
+    sc = jnp.einsum("pid,pjd->pij", a, b, precision=HIGHEST)
+    vi = (gi >= 0) & (gi < size)
+    vj = (gj >= 0) & (gj < size)
+    if pens is not None:
+        vi = vi & (_gather_1d(pens, gi.reshape(-1)).reshape(pb, BLOCK) >= 0)
+        vj = vj & (_gather_1d(pens, gj.reshape(-1)).reshape(pb, BLOCK) >= 0)
+    keep = (
+        vi[:, :, None]
+        & vj[:, None, :]
+        & (gi[:, :, None] < gj[:, None, :])  # i < j once, kills self-pairs
+    )
+    sc = jnp.where(keep, sc, NEG_INF)
+    vals, idx = exact_topk(sc.reshape(1, -1), cap)
+    return vals[0], idx[0]
+
+
+_rescore_chunk = jax.jit(_rescore_chunk_fn, static_argnames=("cap",))
+
+
+def sketch_duplicate_pairs(
+    slabs: Sequence[jax.Array],
+    scales: Optional[Sequence[jax.Array]],
+    pens: Optional[Sequence[jax.Array]],
+    size: int,
+    sketch: SketchState,
+    threshold: float,
+    *,
+    progress: Optional[Callable[[int, int], None]] = None,
+    rows_per_call: int = ROWS_PER_CALL,
+    chunk_pairs: int = 1024,
+    cap: int = 32768,
+    max_rescore_frac: float = 0.01,
+    interpret: Optional[bool] = None,
+) -> List[Tuple[int, int, float]]:
+    """Complete (i, j, score) pair list with score >= threshold, i < j.
+
+    ``sketch`` must cover exactly the live corpus (``built_rows ==
+    size``); the index wrapper enforces that. Raises
+    :class:`DupScanBailout` when the bound prunes too little (flat
+    corpus) — callers fall back to the legacy scan."""
+    if interpret is None:
+        interpret = _interpret_default()
+    assert rows_per_call % ROWS_TILE == 0 and rows_per_call % COLS_TILE == 0
+    cap = max(cap, BLOCK * BLOCK)  # a 1-pair chunk can never overflow
+    # small corpora: shrink the call so padding (and the interpret-mode
+    # grid, on CPU) stays proportional to the data
+    total_cap = sum(s.shape[0] for s in sketch.sketches)
+    rows_per_call = min(
+        rows_per_call, -(-total_cap // COLS_TILE) * COLS_TILE
+    )
+
+    # ---- prep: one zeroing pass per slab, concat, pad ------------------
+    parts_s, parts_t, deltas = [], [], []
+    start = 0
+    for i, slab_sketch in enumerate(sketch.sketches):
+        pen = None if pens is None else pens[i]
+        s16, t, d = _prep_slab(
+            slab_sketch, sketch.resid[i], pen,
+            jnp.asarray(start, jnp.int32), jnp.asarray(size, jnp.int32),
+        )
+        parts_s.append(s16)
+        parts_t.append(t)
+        deltas.append(d)
+        start += slab_sketch.shape[0]
+    # stored-bf16 sketches: _prep_slab's delta only sees the f32 view of
+    # the stored values; the original quantization error is bounded by the
+    # state's recorded ub_slack (>= max storage delta by construction)
+    max_delta = float(max(float(jnp.max(jnp.stack(deltas))), 0.0))
+    if sketch.sketches[0].dtype == jnp.bfloat16 and sketch.ub_slack is not None:
+        max_delta += float(sketch.ub_slack)
+    slack = _pair_slack(max_delta)
+    # padded/zeroed rows rely on their UB of 0 falling below the compare
+    # point — thresholds at or under the slack (~0.013) are not duplicate
+    # territory anyway, so refuse rather than emit garbage
+    if threshold - slack <= 0.0:
+        raise DupScanBailout(
+            f"threshold {threshold} <= pair slack {slack:.4f}; use the legacy scan"
+        )
+
+    n_pad = -(-start // rows_per_call) * rows_per_call
+    s_all = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
+    t_all = jnp.concatenate(parts_t, axis=0) if len(parts_t) > 1 else parts_t[0]
+    if n_pad != start:
+        s_all = jnp.pad(s_all, ((0, n_pad - start), (0, 0)))
+        t_all = jnp.pad(t_all, ((0, n_pad - start),))
+    tb = _block_max(t_all)  # [nb_pad] f32
+    nb_real = -(-size // BLOCK)
+    n_calls = n_pad // rows_per_call
+    total_block_pairs = nb_real * (nb_real + 1) // 2
+    budget = max(int(max_rescore_frac * total_block_pairs), 4 * nb_real)
+
+    def _prog(frac: float) -> None:
+        if progress is not None:
+            progress(int(frac * 1000), 1000)
+
+    # ---- phase 1: block-pair sweep, two-deep dispatch pipeline ---------
+    thr_dev = jnp.asarray(threshold - slack, jnp.float32)
+    pend: List[Tuple[int, jax.Array]] = []
+    all_bi: List[np.ndarray] = []
+    all_bj: List[np.ndarray] = []
+    survivors = 0
+
+    def _drain(entry):
+        nonlocal survivors
+        r0, fut = entry
+        bi, bj = _decode_words(np.asarray(fut), r0 // BLOCK)
+        # padded col blocks carry zero sketches (never set); row blocks
+        # past nb_real likewise — no masking needed beyond the decode
+        all_bi.append(bi)
+        all_bj.append(bj)
+        survivors += len(bi)
+        if survivors > budget:
+            raise DupScanBailout(
+                f"{survivors} surviving block pairs > budget {budget} "
+                f"(max_rescore_frac={max_rescore_frac}); corpus too flat "
+                f"for the sketch bound at threshold {threshold}"
+            )
+
+    for ci, r0 in enumerate(range(0, n_pad, rows_per_call)):
+        fut = blockpair_mask(
+            jax.lax.slice(s_all, (r0, 0), (r0 + rows_per_call, s_all.shape[1])),
+            s_all,
+            jax.lax.slice(tb, (r0 // BLOCK,), ((r0 + rows_per_call) // BLOCK,)),
+            tb,
+            thr_dev,
+            jnp.asarray(r0 // BLOCK, jnp.int32),
+            interpret=interpret,
+        )
+        pend.append((r0, fut))
+        if len(pend) >= 2:
+            _drain(pend.pop(0))
+        _prog(0.45 * (ci + 1) / n_calls)
+    while pend:
+        _drain(pend.pop(0))
+    _prog(0.5)
+
+    bi = np.concatenate(all_bi) if all_bi else np.empty(0, np.int64)
+    bj = np.concatenate(all_bj) if all_bj else np.empty(0, np.int64)
+    if len(bi) == 0:
+        _prog(1.0)
+        return []
+    # gather locality: rescore chunks touch contiguous slab ranges
+    order = np.lexsort((bj, bi))
+    bi, bj = bi[order], bj[order]
+
+    # ---- phase 2: exact rescore of survivors ---------------------------
+    size_dev = jnp.asarray(size, jnp.int32)
+    out: List[Tuple[int, int, float]] = []
+
+    def _run(lo_bi: np.ndarray, lo_bj: np.ndarray) -> None:
+        pb = len(lo_bi)
+        pad = 8  # pow2 buckets bound the jit program family
+        while pad < pb:
+            pad *= 2
+        cbi = np.full(pad, -1, np.int32)
+        cbj = np.full(pad, -1, np.int32)
+        cbi[:pb], cbj[:pb] = lo_bi, lo_bj
+        vals, idx = _rescore_chunk(
+            slabs, scales, pens, size_dev,
+            jnp.asarray(cbi), jnp.asarray(cbj), cap=cap,
+        )
+        vals = np.asarray(vals)
+        n_hit = int((vals >= threshold).sum())
+        if n_hit >= cap and pb > 1:
+            mid = pb // 2
+            _run(lo_bi[:mid], lo_bj[:mid])
+            _run(lo_bi[mid:], lo_bj[mid:])
+            return
+        idx = np.asarray(idx)[:n_hit].astype(np.int64)
+        v = vals[:n_hit]
+        p = idx // (BLOCK * BLOCK)
+        rem = idx % (BLOCK * BLOCK)
+        gi = cbi[p].astype(np.int64) * BLOCK + rem // BLOCK
+        gj = cbj[p].astype(np.int64) * BLOCK + rem % BLOCK
+        out.extend(zip(gi.tolist(), gj.tolist(), v.astype(float).tolist()))
+
+    n_chunks = -(-len(bi) // chunk_pairs)
+    for k, lo in enumerate(range(0, len(bi), chunk_pairs)):
+        _run(bi[lo : lo + chunk_pairs], bj[lo : lo + chunk_pairs])
+        _prog(0.5 + 0.5 * (k + 1) / n_chunks)
+    _prog(1.0)
+    return out

@@ -1274,6 +1274,36 @@ class VectorIndex:
             (int(i), int(j), float(s)) for (i, j), s in zip(pairs, scores)
         ]
 
+    def find_near_duplicates_sketch(
+        self,
+        threshold: float = 0.95,
+        progress: Optional[callable] = None,
+        **kw,
+    ):
+        """Sketch-accelerated COMPLETE pair scan (index/dupscan.py): every
+        live pair with cosine >= threshold, not truncated to a per-row
+        neighbor count like :meth:`find_near_duplicates`. Needs a fresh
+        sketch and a single-device index; raises
+        :class:`dupscan.DupScanBailout` when either precondition fails or
+        the corpus is too flat for the bound to prune — callers fall back
+        to the legacy scan (engine.find_duplicate_groups does)."""
+        from image_search_tpu.index import dupscan
+
+        with self._lock:
+            if self.mesh is not None:
+                raise dupscan.DupScanBailout("sharded index: legacy scan only")
+            sk = self._sketch
+            if sk is None or sk.built_rows != self._size:
+                raise dupscan.DupScanBailout("no fresh sketch")
+            if self._size == 0:
+                return []
+            slabs, _, scales, pens = self._snapshot()
+            size = self._size
+        return dupscan.sketch_duplicate_pairs(
+            slabs, scales, pens, size, sk, threshold,
+            progress=progress, **kw,
+        )
+
     # -- lookups ---------------------------------------------------------------
 
     def paths_for(self, indices: np.ndarray) -> List[str]:
