@@ -6,14 +6,15 @@ at 1M rows (benchmarks/dup_scan_1m.json) and ~hours extrapolated at 10M.
 This module replaces the N^2 full-dimension sweep with the two-stage
 sketch's pair bound (round-3 verdict item #2):
 
-  phase 1 — block prune (ops/blockmax.py, Pallas): for every pair of
-    128-row blocks, bound max-pair-dot by
-        blockmax(sketch dots) + maxResid_A * maxResid_B + pair_slack
-    in d_s=64 sketch space (128 B/row vs 768 B). Pairs of blocks whose
-    bound is < threshold PROVABLY contain no qualifying pair (the same
-    Cauchy-Schwarz decomposition as twostage.py, see below). The sweep
-    reads sketches only and writes packed bitmasks — at 10M rows that is
-    ~80-160 s of MXU time instead of hours.
+  phase 1 — block prune (ops/blockmax.py, Pallas): every row's sketch is
+    AUGMENTED with its residual norm as a 65th coordinate, a_i = [s_i,
+    t_i], so the per-pair Cauchy-Schwarz bound r_i.r_j <= s_i.s_j +
+    t_i*t_j is one MXU dot a_i.a_j. For every pair of 128-row blocks the
+    kernel takes the blockwise max of that product and thresholds at
+    (threshold - pair_slack): cleared block pairs PROVABLY contain no
+    qualifying pair. The sweep reads augmented sketches only (130 B/row
+    vs 768 B) and writes packed bitmasks — minutes of MXU time at 10M
+    rows instead of hours.
 
   phase 2 — exact rescore: surviving block pairs (always including the
     nb diagonal blocks — a block's self-bound is ~1) are gathered from
@@ -70,31 +71,31 @@ def _interpret_default() -> bool:
 
 @jax.jit
 def _prep_slab(sketch, resid, pen, start, size):
-    """Zero the sketch rows that must never produce a pair: tombstoned
-    (pen == NEG_INF) and beyond the live size. Returns (bf16 sketch,
-    zeroed resid, max ||s - bf16(s)|| over kept rows)."""
+    """Augment the slab's sketches with their residual norms (so the
+    kernel's dot IS the per-pair UB, blockmax.py module doc) and zero the
+    rows that must never produce a pair: tombstoned (pen == NEG_INF) and
+    beyond the live size. Returns (bf16 augmented sketch [n, d_s+1],
+    max ||a - bf16(a)|| over kept rows)."""
     n = sketch.shape[0]
     live = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
     if pen is not None:
         live = live & (pen >= 0.0)
-    s32 = sketch.astype(jnp.float32)
-    s32 = jnp.where(live[:, None], s32, 0.0)
-    t = jnp.where(live, resid.astype(jnp.float32), 0.0)
-    s16 = s32.astype(jnp.bfloat16)
-    delta = jnp.sqrt(jnp.sum((s32 - s16.astype(jnp.float32)) ** 2, axis=1))
-    return s16, t, jnp.max(delta)
-
-
-@jax.jit
-def _block_max(t_pad):
-    return t_pad.reshape(-1, BLOCK).max(axis=1)
+    a32 = jnp.concatenate(
+        [sketch.astype(jnp.float32), resid.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+    a32 = jnp.where(live[:, None], a32, 0.0)
+    a16 = a32.astype(jnp.bfloat16)
+    delta = jnp.sqrt(jnp.sum((a32 - a16.astype(jnp.float32)) ** 2, axis=1))
+    return a16, jnp.max(delta)
 
 
 def _pair_slack(max_delta: float) -> float:
     """Additive UB inflation covering both operands' bf16 rounding plus
-    f32 accumulation error: |s_i.s_j - bf16dot(s~_i, s~_j)| <=
-    delta_i ||s_j|| + delta_j ||s~_i|| <= 2 * 1.01 * max_delta (sketch
-    norms <= ||r|| <= 1 + 2^-8), and gamma_64 accumulation < SLACK."""
+    f32 accumulation error: |a_i.a_j - bf16dot(a~_i, a~_j)| <=
+    delta_i ||a_j|| + delta_j ||a~_i|| <= 2 * 1.01 * max_delta (augmented
+    norms = sqrt(||s||^2 + t^2) = ||r|| <= 1 + 2^-8), and gamma_65
+    accumulation < SLACK."""
     return 2.0 * 1.01 * float(max_delta) + SLACK
 
 
@@ -156,7 +157,11 @@ def sketch_duplicate_pairs(
     *,
     progress: Optional[Callable[[int, int], None]] = None,
     rows_per_call: int = ROWS_PER_CALL,
-    chunk_pairs: int = 1024,
+    # 256 block pairs/chunk: the rescore gather materializes a
+    # [chunk*128, D] f32 temp PER SLAB PER SIDE (_gather_rows sweeps every
+    # slab) — 1024 pairs x 10 slabs OOM'd a 16 GB chip at 10M rows with
+    # the corpus resident (measured, dup_scan_10m round 4)
+    chunk_pairs: int = 256,
     cap: int = 32768,
     max_rescore_frac: float = 0.01,
     interpret: Optional[bool] = None,
@@ -178,17 +183,16 @@ def sketch_duplicate_pairs(
         rows_per_call, -(-total_cap // COLS_TILE) * COLS_TILE
     )
 
-    # ---- prep: one zeroing pass per slab, concat, pad ------------------
-    parts_s, parts_t, deltas = [], [], []
+    # ---- prep: one augment+zero pass per slab, concat, pad --------------
+    parts_s, deltas = [], []
     start = 0
     for i, slab_sketch in enumerate(sketch.sketches):
         pen = None if pens is None else pens[i]
-        s16, t, d = _prep_slab(
+        a16, d = _prep_slab(
             slab_sketch, sketch.resid[i], pen,
             jnp.asarray(start, jnp.int32), jnp.asarray(size, jnp.int32),
         )
-        parts_s.append(s16)
-        parts_t.append(t)
+        parts_s.append(a16)
         deltas.append(d)
         start += slab_sketch.shape[0]
     # stored-bf16 sketches: _prep_slab's delta only sees the f32 view of
@@ -208,11 +212,9 @@ def sketch_duplicate_pairs(
 
     n_pad = -(-start // rows_per_call) * rows_per_call
     s_all = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
-    t_all = jnp.concatenate(parts_t, axis=0) if len(parts_t) > 1 else parts_t[0]
+    del parts_s  # the concat supersedes the per-slab copies (HBM headroom)
     if n_pad != start:
         s_all = jnp.pad(s_all, ((0, n_pad - start), (0, 0)))
-        t_all = jnp.pad(t_all, ((0, n_pad - start),))
-    tb = _block_max(t_all)  # [nb_pad] f32
     nb_real = -(-size // BLOCK)
     n_calls = n_pad // rows_per_call
     total_block_pairs = nb_real * (nb_real + 1) // 2
@@ -249,8 +251,6 @@ def sketch_duplicate_pairs(
         fut = blockpair_mask(
             jax.lax.slice(s_all, (r0, 0), (r0 + rows_per_call, s_all.shape[1])),
             s_all,
-            jax.lax.slice(tb, (r0 // BLOCK,), ((r0 + rows_per_call) // BLOCK,)),
-            tb,
             thr_dev,
             jnp.asarray(r0 // BLOCK, jnp.int32),
             interpret=interpret,
@@ -263,6 +263,7 @@ def sketch_duplicate_pairs(
         _drain(pend.pop(0))
     _prog(0.5)
 
+    del s_all  # free the concatenated sketch: phase 2 needs HBM headroom
     bi = np.concatenate(all_bi) if all_bi else np.empty(0, np.int64)
     bj = np.concatenate(all_bj) if all_bj else np.empty(0, np.int64)
     if len(bi) == 0:

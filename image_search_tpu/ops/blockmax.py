@@ -3,36 +3,44 @@ duplicate scan (index/dupscan.py).
 
 Problem: an all-pairs duplicate scan at corpus scale needs, for every
 pair of 128-row blocks (A, B), an upper bound on max_{i in A, j in B}
-dot(r_i, r_j). With the two-stage sketch (index/twostage.py) that bound is
+dot(r_i, r_j). With the two-stage sketch (index/twostage.py), Cauchy-
+Schwarz on the residuals gives the per-PAIR bound
 
-    UB(A, B) = max_{i,j} (s_i . s_j) + maxT(A) * maxT(B) + slack
+    r_i . r_j  <=  s_i . s_j + t_i * t_j
 
-where s are d_s-dim sketches and t the residual norms. The max-sketch-dot
-term is an N x N matrix reduced 128x128-blockwise — 1e14 f32 values at
-10M rows. XLA cannot fuse a reduction into a dot's output, so a pure-XLA
-version would round-trip the FULL product matrix through HBM: 2 x 1e14 x
-4 B = 800 TB at ~640 GB/s = hours. This kernel keeps each [ROWS_TILE,
-COLS_TILE] product tile in VMEM, reduces it to a [ROWS_TILE/128,
-COLS_TILE/128] block of thresholded bits, and writes ONLY the packed
-bitmask — HBM traffic drops from O(N^2) values to O(N^2 / 128^2 / 32)
-words, and the sweep runs at the MXU's rate (K = d_s = 64 per pass).
+where s are d_s-dim sketches and t the (inflated) residual norms. The
+caller AUGMENTS each sketch with its residual norm as one extra
+coordinate, a_i = [s_i, t_i], so the whole right side is a single dot
+a_i . a_j — the per-pair UB is exactly an MXU contraction, and the
+block-pair bound is the 128x128-blockwise max of that product matrix.
+(This is tighter than the separable blockmax(s.s) + maxT*maxT form, and
+it keeps every kernel operand MXU/VPU-shaped — no sub-128-lane side
+inputs, which Mosaic's (8,128) tiling rules reject.)
+
+That product matrix is 1e14 f32 values at 10M rows. XLA cannot fuse a
+reduction into a dot's output, so a pure-XLA version would round-trip
+the FULL matrix through HBM: 800 TB at ~640 GB/s = hours. This kernel
+keeps each [ROWS_TILE, COLS_TILE] product tile in VMEM, reduces it to a
+[ROWS_TILE/128, COLS_TILE/128] block of thresholded bits, and writes
+ONLY packed bitmask words — HBM traffic drops from O(N^2) values to
+O(N^2 / 128^2 / 32) words, and the sweep runs at the MXU's rate.
 
 Output packing: each int32 word w = out[br, wc] holds the keep-bits of
 block-row ``br`` vs block-cols ``wc*32 .. wc*32+31`` (bit b = col block
 ``wc*32 + b``, LSB-first). Only pairs with col_block >= row_block are
 emitted (upper triangle incl. the diagonal); the caller owns
-de-duplication below block granularity.
+de-duplication below block granularity. The word row is accumulated in
+a VMEM-resident [_RB, W] block across the j grid sweep (index_map pins
+it per row-tile) and each j-tile contributes its word column via a
+lane-masked select — no sub-128-lane output blocks.
 
-Soundness of the bit: bit set iff
-
-    blockmax(bf16_dot(s~_i, s~_j)) + maxT_r * maxT_c >= thr_minus_slack
-
-where thr_minus_slack = threshold - pair_slack and pair_slack (computed
-by the caller, see dupscan._pair_slack) bounds |s_i.s_j - bf16dot| from
-sketch storage/cast rounding plus f32 accumulation error. bf16 MXU
-products are exact; only the two operand roundings and the f32
-accumulation order contribute. A cleared bit therefore PROVES no pair in
-the block pair has true dot >= threshold.
+Soundness of the bit: bit set iff blockmax(bf16_dot(a~_i, a~_j)) >=
+thr_minus_slack, where thr_minus_slack = threshold - pair_slack and
+pair_slack (computed by the caller, see dupscan._pair_slack) bounds
+|a_i.a_j - bf16dot| from storage/cast rounding plus f32 accumulation
+error. bf16 MXU products are exact; only the two operand roundings and
+the f32 accumulation order contribute. A cleared bit therefore PROVES no
+pair in the block pair has true dot >= threshold.
 
 No reference counterpart: SurrealDB's MTREE (search.rs:70-77) cannot
 self-join at all; this kernel is what makes the 10M /duplicates endpoint
@@ -49,21 +57,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128          # rows per duplicate-scan block (lane width)
-ROWS_TILE = 2048     # row-tile rows per grid step (16 block-rows)
+ROWS_TILE = 1024     # row-tile rows per grid step (8 block-rows)
 COLS_TILE = 4096     # col-tile rows per grid step (32 block-cols = 1 word)
-_RB = ROWS_TILE // BLOCK   # 16 block-rows per tile
+_RB = ROWS_TILE // BLOCK   # 8 block-rows per tile
 _CB = COLS_TILE // BLOCK   # 32 block-cols per tile (= bits per int32 word)
 
 
-def _kernel(thr_ref, rb0_ref, s_rows_ref, s_cols_ref, tr_ref, tc_ref, out_ref):
+def _kernel(thr_ref, rb0_ref, s_rows_ref, s_cols_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
     row_b0 = rb0_ref[0, 0] + i * _RB   # global block index of this tile's 1st row
     col_b0 = j * _CB                   # global block index of this tile's 1st col
 
+    @pl.when(j == 0)                  # fresh word row for this row-tile
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     @pl.when(col_b0 + _CB > row_b0)   # tile touches the upper triangle
     def _compute():
-        # [ROWS_TILE, COLS_TILE] f32 sketch dots, VMEM-resident only
+        # [ROWS_TILE, COLS_TILE] f32 augmented-sketch dots (= per-pair
+        # UBs), VMEM-resident only: 1024 x 4096 x 4 B = 16 MB
         d = jax.lax.dot_general(
             s_rows_ref[:], s_cols_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -84,63 +97,58 @@ def _kernel(thr_ref, rb0_ref, s_rows_ref, s_cols_ref, tr_ref, tc_ref, out_ref):
             ],
             axis=1,
         )  # [_RB, _CB]
-        ub = m + tr_ref[:] * tc_ref[:]             # + maxT_r * maxT_c
         rowb = row_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 0)
         colb = col_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 1)
-        keep = (ub >= thr_ref[0, 0]) & (colb >= rowb)
+        keep = (m >= thr_ref[0, 0]) & (colb >= rowb)
         bit = jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 1)
         words = jnp.sum(
             jnp.where(keep, jnp.left_shift(jnp.int32(1), bit), 0),
             axis=1,
             keepdims=True,
         )  # [_RB, 1] int32, LSB = first col block of the tile
-        out_ref[:] = words
-
-    @pl.when(col_b0 + _CB <= row_b0)  # strictly below the diagonal: skip
-    def _skip():
-        out_ref[:] = jnp.zeros((_RB, 1), jnp.int32)
+        # contribute word column j of the resident [_RB, W] row block
+        lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+        out_ref[:] = jnp.where(lane == j, words, out_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def blockpair_mask(
-    s_rows: jax.Array,        # [R, d_s] bf16 row-tile sketches (R % ROWS_TILE == 0)
-    s_cols: jax.Array,        # [N, d_s] bf16 full corpus sketches (N % COLS_TILE == 0)
-    t_rows: jax.Array,        # [R // BLOCK] f32 block-max residual norms (row side)
-    t_cols: jax.Array,        # [N // BLOCK] f32 block-max residual norms (col side)
+    s_rows: jax.Array,        # [R, d_a] bf16 row-tile AUGMENTED sketches
+    s_cols: jax.Array,        # [N, d_a] bf16 full-corpus augmented sketches
     thr_minus_slack,          # f32 scalar: threshold - pair_slack
     row_block0,               # int32 scalar: global block index of s_rows[0]
     interpret: bool = False,
 ) -> jax.Array:
     """Packed upper-triangle block-pair keep mask.
 
-    Returns [R // BLOCK, N // (BLOCK*32)] int32 — see module docstring for
-    the bit layout and the soundness statement."""
-    r, ds = s_rows.shape
+    ``s_rows``/``s_cols`` carry the residual norm as their last
+    coordinate (see module docstring), so the kernel's dot IS the
+    per-pair upper bound. Returns [R // BLOCK, N // (BLOCK*32)] int32 —
+    see module docstring for the bit layout and soundness statement."""
+    r, da = s_rows.shape
     n = s_cols.shape[0]
     assert r % ROWS_TILE == 0 and n % COLS_TILE == 0, (r, n)
     assert s_rows.dtype == jnp.bfloat16 and s_cols.dtype == jnp.bfloat16
     grid = (r // ROWS_TILE, n // COLS_TILE)
+    w = n // COLS_TILE
     thr = jnp.full((1, 1), thr_minus_slack, jnp.float32)
     rb0 = jnp.full((1, 1), row_block0, jnp.int32)
-    tr = t_rows.astype(jnp.float32).reshape(r // BLOCK, 1)
-    tc = t_cols.astype(jnp.float32).reshape(1, n // BLOCK)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                        # thr
             pl.BlockSpec(memory_space=pltpu.SMEM),                        # rb0
-            pl.BlockSpec((ROWS_TILE, ds), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((COLS_TILE, ds), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS_TILE, da), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((COLS_TILE, da), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_RB, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            # full word row per row-tile, revisited across the j sweep
+            (_RB, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((r // BLOCK, n // COLS_TILE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((r // BLOCK, w), jnp.int32),
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(thr, rb0, s_rows, s_cols, tr, tc)
+    )(thr, rb0, s_rows, s_cols)

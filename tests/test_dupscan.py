@@ -120,13 +120,20 @@ def test_not_truncated_unlike_legacy(rng):
     assert len({(i, j) for i, j, _ in legacy if i < csize and j < csize}) < len(cluster)
 
 
-def test_flat_corpus_bails_out(rng):
+def test_flat_corpus(rng):
+    """Flat corpus, high threshold: the augmented per-pair bound (s.s +
+    t.t, blockmax.py) still prunes because t_i*t_j < threshold for every
+    pair — the scan completes and must match the oracle (here: empty).
+    At a threshold BELOW the residual product nothing can prune and the
+    budget bailout must fire."""
     n = 8_192
     idx = VectorIndex(DIM)
     idx.add([f"p{i}" for i in range(n)], flat(rng, n))
     idx.build_sketch()
+    pairs = idx.find_near_duplicates_sketch(threshold=0.95)
+    check_band(pairs, dequantized(idx), 0.95)
     with pytest.raises(DupScanBailout):
-        idx.find_near_duplicates_sketch(threshold=0.95)
+        idx.find_near_duplicates_sketch(threshold=0.5)
 
 
 def test_threshold_below_slack_refused(rng):
