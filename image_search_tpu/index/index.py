@@ -250,6 +250,32 @@ def _sharded_search_fn(mesh: Mesh, k: int, approx: bool):
     return fn
 
 
+@lru_cache(maxsize=32)
+def _fused_twostage_fn(text_fn, k: int, m: int, share: int):
+    """ONE XLA program for the whole cold-query serving path: token ids ->
+    text tower -> Rocchio query build -> certified two-stage bound+rescore
+    (round-3 verdict #1: kill the tower->search dispatch hop). ``text_fn``
+    is the embedder's (stable, jitted) text encoder — jit-of-jit inlines
+    it, so index code stays model-agnostic. Also returns the raw text
+    embeddings so the engine can fill its query cache and, on certificate
+    failure, run the full-scan fallback without re-running the tower."""
+
+    @jax.jit
+    def fn(params, ids, sel, slabs, norms, scales, pens, size,
+           sketches, resid, basis, ub_slack):
+        from image_search_tpu.index.twostage import twostage_topk_block
+
+        text = text_fn(params, input_ids=ids)
+        q = _rocchio_queries(slabs, norms, text, sel, scales)
+        s, i, cert = twostage_topk_block(
+            slabs, sketches, resid, basis, size, q, k, m,
+            scales, pens, ub_slack, share,
+        )
+        return s, i, cert, text
+
+    return fn
+
+
 @lru_cache(maxsize=64)
 def _sharded_twostage_fn(mesh: Mesh, k: int, c: int, share: int = 0):
     @jax.jit
@@ -1080,6 +1106,66 @@ class VectorIndex:
                 text_embeddings, selected_paths_list, k
             )
         return s_i[0][:B], s_i[1][:B]
+
+    def search_twostage_fused_tokens(
+        self,
+        text_fn,
+        params,
+        ids: np.ndarray,
+        selected_paths_list: Sequence[Sequence[str]],
+        k: int = 1000,
+        candidates: int = 4096,
+        count_failures: bool = True,
+    ):
+        """Whole cold-query path in ONE dispatched program (verdict #1):
+        token ids [Bpad, L] -> text tower -> Rocchio -> certified two-stage.
+        ``ids`` must already be padded to a pow2 bucket >= 8 by REPEATING
+        row 0 (an EOS-only pad row would be a distinct query and claim a
+        share of the union candidate budget; a repeat adds no new blocks —
+        same rule as ``search_twostage_feedback_batch``'s text padding).
+
+        Returns ``(scores[:B], ids[:B], text[Bpad])`` on certified success;
+        ``(None, None, text)`` when the certificate failed (caller runs the
+        full-scan fallback on the already-computed embeddings); and
+        ``(None, None, None)`` when the fused path cannot serve at all
+        (no/stale sketch, sharded index, corpus too small for block
+        granularity) — caller uses the classic two-program path."""
+        B = len(selected_paths_list)
+        sk, k2, c, slabs, norms, scales, pens, size, rows_list = (
+            self._twostage_snapshot(k, candidates, selected_paths_list)
+        )
+        if sk is None or self.mesh is not None:
+            return None, None, None
+        Bpad = int(ids.shape[0])
+        m_sel = 8
+        while m_sel < max((len(r) for r in rows_list), default=0):
+            m_sel *= 2
+        sel = np.full((Bpad, m_sel), -1, np.int32)
+        for b, r in enumerate(rows_list):
+            sel[b, : len(r)] = r
+        share = 1 << (B - 1).bit_length() if B > 1 else 1
+        from image_search_tpu.index.twostage import BLOCK
+
+        nb = sum(s.shape[0] for s in slabs) // BLOCK
+        per_q = c // 2 if sk.sketches[0].dtype == jnp.bfloat16 else c // 4
+        m = min(max(c, per_q * share), nb - 1)
+        if m < 1 or m * BLOCK < k2 or (share > 1 and (m / share) * BLOCK < k2):
+            self.twostage_fallbacks += 1
+            return None, None, None
+        fn = _fused_twostage_fn(text_fn, k2, m, share)
+        s, i, cert, text = fn(
+            params, jnp.asarray(ids), jnp.asarray(sel), slabs, norms,
+            scales, pens, size, sk.sketches, sk.resid, sk.basis, sk.ub_slack,
+        )
+        if bool(jnp.all(cert)):
+            self.twostage_certified += 1
+            self._twostage_consec_failures = 0
+            return np.asarray(s[:B]), np.asarray(i[:B]), text
+        if count_failures:
+            self._note_twostage_failure()
+        else:
+            self.twostage_fallbacks += 1
+        return None, None, text
 
     # -- queries ---------------------------------------------------------------
 

@@ -173,6 +173,14 @@ class ClipEmbedder:
 
     # -- text path -------------------------------------------------------------
 
+    @property
+    def encode_text_fn(self):
+        """The stable jitted text encoder, ``fn(params, input_ids=ids)``:
+        identity-stable per embedder so it can key the fused serving
+        program cache (index._fused_twostage_fn), and jit-of-jit inlines
+        it into the fused program."""
+        return self._encode_text
+
     def embed_texts_device(self, texts: Sequence[str]) -> jax.Array:
         """Strings -> raw [N, projection_dim] f32 as an UN-FETCHED device
         array: callers chaining into another device program (the index

@@ -350,6 +350,11 @@ class SearchEngine:
         result lists in request order."""
         k = k or self.args.k
         queries = list(queries)
+        sel_lists = [
+            [p for p in (self._resolve_selection(m) for m in sel) if p is not None]
+            for sel in (selections or [()] * len(queries))
+        ]
+        n_feedback = sum(1 for s in sel_lists if s)
         # reuse the text cache (the feedback round re-sends the same q);
         # snapshot hits locally — a concurrent search could evict entries
         # between our insert and the stack below
@@ -359,6 +364,25 @@ class SearchEngine:
             if hit is not None:
                 local[q] = hit
         misses = [q for q in queries if q not in local]
+        if (
+            not local
+            and not self.args.search_approx
+            and getattr(self.args, "search_twostage", False)
+            and self.index.sketch_fresh
+            and self.index.mesh is None
+            and len(queries) <= getattr(self.args, "twostage_max_batch", 4)
+            and self.embedder.tokenizer is not None
+        ):
+            # all-cold certified batch: the whole path (tokens -> text
+            # tower -> Rocchio -> two-stage bound+rescore) is ONE dispatched
+            # XLA program (round-3 verdict #1) — no tower->search dispatch
+            # hop. Returns None when the fused path can't serve (e.g. the
+            # sketch went stale between the check and the snapshot) — then
+            # the classic two-program path below answers.
+            out = self._search_many_fused(queries, sel_lists, k)
+            if out is not None:
+                self._inc_search_metrics(len(queries), n_feedback)
+                return out
         if misses:
             with global_metrics.timer("text_embed"):
                 # device arrays, NOT fetched: the search dispatch below
@@ -371,11 +395,6 @@ class SearchEngine:
         import jax.numpy as _jnp
 
         q_mat = _jnp.stack([_jnp.asarray(local[q]) for q in queries])
-        sel_lists = [
-            [p for p in (self._resolve_selection(m) for m in sel) if p is not None]
-            for sel in (selections or [()] * len(queries))
-        ]
-        n_feedback = sum(1 for s in sel_lists if s)
         use_twostage = (
             not self.args.search_approx
             and getattr(self.args, "search_twostage", False)
@@ -416,13 +435,56 @@ class SearchEngine:
                 scores, idx = self.index.search_with_feedback_batch(
                     q_mat, sel_lists, k, approx=self.args.search_approx
                 )
-        global_metrics.inc("searches", len(queries))
+        self._inc_search_metrics(len(queries), n_feedback)
+        return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
+
+    def _inc_search_metrics(self, n_queries: int, n_feedback: int) -> None:
+        global_metrics.inc("searches", n_queries)
         global_metrics.inc("searches_with_feedback", n_feedback)
-        if len(queries) > 1:  # only true coalescing counts
-            global_metrics.inc("batched_searches", len(queries))
+        if n_queries > 1:  # only true coalescing counts
+            global_metrics.inc("batched_searches", n_queries)
             if n_feedback:
                 global_metrics.inc("batched_feedback_searches", n_feedback)
-        return [self._format_results(scores[b], idx[b]) for b in range(len(queries))]
+
+    def _search_many_fused(self, queries, sel_lists, k):
+        """One-program serving path (verdict #1): tokenize on host
+        (~0.02 ms), then token ids -> text tower -> Rocchio -> certified
+        two-stage as a single dispatched XLA program
+        (index.search_twostage_fused_tokens). Returns formatted results,
+        or None when the fused path cannot serve (caller falls back to
+        the classic tower+search pair). Certificate failures run the
+        full-scan feedback program on the embeddings the fused program
+        already computed — the tower is never re-run."""
+        B = len(queries)
+        ids = self.embedder.tokenizer(list(queries))
+        Bpad = 8
+        while Bpad < B:
+            Bpad *= 2
+        if Bpad > B:
+            # pad by REPEATING query 0: an EOS-only pad row would be a
+            # distinct query and claim union-budget share (index method doc)
+            ids = np.concatenate([ids, np.repeat(ids[:1], Bpad - B, axis=0)])
+        with global_metrics.timer("index_search"):
+            scores, idx, text = self.index.search_twostage_fused_tokens(
+                self.embedder.encode_text_fn,
+                self.embedder.params,
+                ids,
+                sel_lists,
+                k,
+            )
+        if text is not None:
+            for b, q in enumerate(queries):
+                self._cache_put(q, text[b])
+        if scores is None:
+            if text is None:
+                return None  # fused path unavailable: classic path serves
+            with global_metrics.timer("index_search"):
+                scores, idx = self.index.search_with_feedback_batch(
+                    text[:B], sel_lists, k
+                )
+        self._publish_twostage_gauges()
+        global_metrics.inc("fused_searches", B)
+        return [self._format_results(scores[b], idx[b]) for b in range(B)]
 
     def warm_serving_buckets(self, max_batch: int = 32) -> int:
         """Precompile the serving program family so no XLA compile lands

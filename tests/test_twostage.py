@@ -298,6 +298,89 @@ def test_search_many_batched_twostage(tmp_path, rng):
     assert [[r["image_path"] for r in row] for row in res_fb] == want_paths
 
 
+def test_search_many_fused_one_program(tmp_path, rng, monkeypatch):
+    """Cold micro-batches ride the ONE-program fused serving path (round-3
+    verdict #1): token ids -> text tower -> Rocchio -> certified two-stage
+    in a single dispatched XLA program. It must actually SERVE (the
+    ``fused_searches`` counter moves — not silently fall back to the
+    two-program path), its answers must equal the classic path's, and the
+    embeddings it computes must land in the text cache so the warm repeat
+    runs zero tower work.
+
+    The fused program is the SINGLE-CHIP serving deployment (a meshed
+    engine keeps the two-program path: DP tower + sharded search), so the
+    engine is built mesh-less — under the test env's 8 virtual devices it
+    would otherwise auto-mesh."""
+    import os
+
+    from PIL import Image
+
+    import image_search_tpu.server.engine as engine_mod
+    from image_search_tpu.server.args import ServerArgs
+    from image_search_tpu.server.engine import SearchEngine
+    from image_search_tpu.utils.metrics import global_metrics
+
+    monkeypatch.setattr(engine_mod, "make_mesh", lambda *a, **k: None)
+    media = str(tmp_path / "pics")
+    os.makedirs(media)
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(media, f"i{i}.jpg"))
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.st"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+        search_twostage=True,
+    )
+    eng = SearchEngine(args)
+    eng.scan()
+    # grow the corpus past block granularity with synthetic rows (the 4
+    # real images alone cannot fill one 128-row block), in the engine's
+    # own projection dim, with the low-rank spectral shape that certifies
+    n, d = 16_384, eng.index.dim
+    m = rng.normal(size=(RANK, d))
+    x = rng.normal(size=(n, RANK)) @ m + 0.02 * rng.normal(size=(n, d))
+    emb = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    eng.index.add([os.path.join(media, f"s{i}.jpg") for i in range(n)], emb)
+    eng.index.build_sketch()
+
+    def fused_count():
+        return global_metrics.snapshot()["counters"].get("fused_searches", 0)
+
+    before = fused_count()
+    queries = ["a red photo", "blue"]
+    res = eng.search_many(queries, None, k=50)
+    assert fused_count() == before + 2  # the fused program answered
+    assert len(res) == 2 and all(len(r) == 50 for r in res)
+    # warm repeat: cache hits -> classic path on the embeddings the fused
+    # program cached. Answers must be identical (both exact)
+    res2 = eng.search_many(queries, None, k=50)
+    assert fused_count() == before + 2  # warm traffic never re-fuses
+    assert [[r["image_path"] for r in row] for row in res2] == [
+        [r["image_path"] for r in row] for row in res
+    ]
+    # cold queries WITH feedback ride the fused program too; oracle = the
+    # full-scan feedback batch on the (now cached) fused embeddings
+    sel = [[res[0][0]["image_path"]], []]
+    res_fb = eng.search_many(["green thing", "yellow"], sel, k=50)
+    assert fused_count() == before + 4
+    abs_sel = [[eng.to_abs_path(p) for p in s] for s in sel]
+    full_fb = eng.index.search_with_feedback_batch(
+        np.stack([
+            np.asarray(eng._cached_text_embed("green thing")),
+            np.asarray(eng._cached_text_embed("yellow")),
+        ]),
+        abs_sel,
+        50,
+    )
+    want_paths = [
+        [eng._wire_row(int(i))["image_path"] for i in row]
+        for row in np.asarray(full_fb[1])
+    ]
+    assert [[r["image_path"] for r in row] for row in res_fb] == want_paths
+
+
 @pytest.mark.parametrize("quantize", [None, "int8"])
 def test_feedback_twostage_matches_fused_feedback(rng, quantize):
     """Rocchio feedback through the certified two-stage path: certified
