@@ -1,20 +1,51 @@
-"""Serving-latency decomposition at 10M rows (round-2 verdict Weak #7).
+"""Serving-latency decomposition at 10M rows — fused one-program path.
 
-Breaks the text->top-1000 path into measurable stages on the real TPU so
-the "<15 ms over-the-wire" claim rests on a decomposition, not on the
-tunnel excuse:
+Round-3 verdict #1: stop PROJECTING the <15 ms over-the-wire budget —
+demonstrate it. The serving path is now ONE dispatched XLA program
+(token ids -> ViT-L text tower -> Rocchio -> certified two-stage
+bound+rescore, index._fused_twostage_fn) with ONE host round trip
+(certificate + scores + ids fetched together), and the response body is
+pre-rendered (engine.render_images_json). This script measures every
+stage on the real chip and publishes the tunnel accounting:
 
-  tokenize      — BPE encode of the query string (host)
-  text embed    — tokenize + text-tower dispatch + fetch (device round-trip)
-  index search  — fused scores+top-k dispatch + fetch at 10M int8 (device)
-  format        — row -> {"id","image_path","score"} for k=1000 (host;
-                  round-3 precomputed wire cache)
-  engine.search — all of the above through the real SearchEngine
-  HTTP POST     — loopback aiohttp request (adds JSON + framing; on this
-                  sandbox it also adds the axon tunnel's ~80 ms floor —
-                  reported separately, device stages are tunnel-free)
+  tunnel_rtt        p50 of jax.device_get on a READY tiny array — a pure
+                    transfer round trip through the axon tunnel. On a
+                    TPU-VM this is a PCIe hop (~0.1-0.3 ms); in this
+                    sandbox it is the tunnel floor (tens of ms).
+  host_tokenize     BPE encode (real trained vocab, not the hash stub)
+  device_tower_b8   text tower alone at the serving pad (Bpad=8),
+                    amortized protocol
+  device_fused      the WHOLE fused serving program, amortized protocol
+                    (N async dispatches + one dependent fetch — pure
+                    device time, no tunnel in the quotient)
+  fused_single      one index.search_twostage_fused_tokens call =
+                    device_fused + exactly ONE tunnel_rtt
+  host_format       k=1000 wire-dict formatting (memoized templates)
+  host_render       k=1000 pre-rendered JSON body (memoized fragments)
+  engine_e2e        engine.search(q), cold distinct queries (fused path)
+  http_e2e          loopback POST /search through the real aiohttp app
 
-Usage: python benchmarks/latency_decomp.py [--rows 10000000] [--queries 30]
+Tunnel-RTT subtraction methodology (the loopback claim): the serving
+path performs exactly one device round trip per request — the fused
+program's combined device_get; every other device interaction is an
+async dispatch that never blocks. Therefore
+
+    wire_p50 = http_e2e_p50 - tunnel_rtt_p50
+
+is the loopback p50 with the sandbox tunnel's transfer floor replaced
+by zero; a TPU-VM adds its own PCIe rtt back (~0.1-0.3 ms). The
+cross-check published alongside: http_e2e ≈ device_fused + host stages
++ tunnel_rtt must close to within noise, or the subtraction is wrong.
+
+Corpus: device-generated int8 rows with the rank-64-dominant spectrum
+of real image embeddings (same generator as twostage_10m.py; the flat
+control lives there — a flat corpus never publishes a sketch since the
+round-4 certifiability gate). bf16 sketch (the shipped fast config).
+
+ISX_CPU_SMOKE=1 runs the whole harness at 64k rows on CPU (correctness
+of the harness only; writes latency_decomp.smoke.json).
+ONE process, serialized (tunnel discipline, CLAUDE.md).
+Run: python benchmarks/latency_decomp.py [--rows 10000000]
 """
 
 from __future__ import annotations
@@ -25,9 +56,15 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+SMOKE = bool(os.environ.get("ISX_CPU_SMOKE"))
+OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "latency_decomp.smoke.json" if SMOKE else "latency_decomp.json",
+)
 
 QUERIES = [
     "a dog on a beach at sunset",
@@ -38,6 +75,10 @@ QUERIES = [
 ]
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def p50(xs):
     xs = sorted(xs)
     return xs[len(xs) // 2]
@@ -46,21 +87,32 @@ def p50(xs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--rank", type=int, default=64)
+    ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--queries", type=int, default=30)
+    ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--sketch-dtype", default="bfloat16")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    assert jax.default_backend() == "tpu"
-    probe = jnp.ones((8, 8), jnp.bfloat16)
-    float((probe @ probe)[0, 0])
-    print("[probe] ok", flush=True)
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        args.rows = min(args.rows, 64_000)
+        args.queries = min(args.queries, 8)
+    else:
+        assert jax.default_backend() == "tpu"
+        probe = jnp.ones((8, 8), jnp.bfloat16)
+        float((probe @ probe)[0, 0])
+        log("[probe] ok")
 
     from image_search_tpu.config import clip_vit_l14
     from image_search_tpu.index import VectorIndex
+    from image_search_tpu.index.index import _write_block
     from image_search_tpu.models import init_params
     from image_search_tpu.models.embedder import ClipEmbedder
+    from image_search_tpu.parallel.sharded_search import quantize_rows_int8
     from image_search_tpu.server.args import ServerArgs
     from image_search_tpu.server.engine import SearchEngine
     from image_search_tpu.tokenizer import CLIPBPETokenizer, train_bpe
@@ -73,100 +125,217 @@ def main():
         tok = train_bpe(QUERIES * 200, vocab_size=2048)
         tok.save(tok_dir)
     tokenizer = CLIPBPETokenizer.from_dir(tok_dir, cfg.text.context_length)
-    # the trained demo vocab has its own eos id; keep the ViT-L tower dims
-    # (vocab table size drives the gather cost) and align only the eos
     import dataclasses
 
     cfg = dataclasses.replace(
         cfg, text=dataclasses.replace(cfg.text, eos_token_id=tokenizer.eos_id)
     )
-
     params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
     embedder = ClipEmbedder(params, cfg, tokenizer=tokenizer)
+    d = cfg.projection_dim
 
-    print(f"[build] {args.rows/1e6:.0f}M-row int8 index ...", flush=True)
-    index = VectorIndex(cfg.projection_dim, quantize="int8", capacity=args.rows)
-    rng = np.random.default_rng(0)
+    # ---- corpus: device-generated, injected straight into the slabs ----
+    n = args.rows
+    log(f"[build] {n/1e6:.2f}M-row int8 index (device-side generation)")
+    index = VectorIndex(d, quantize="int8", capacity=n)
+    ch = index._emb_slabs[0].shape[0]  # one generator call fills one slab
+    mix = jax.device_put(
+        jnp.asarray(np.random.default_rng(7).normal(size=(args.rank, d)), jnp.float32)
+    )
+
+    @jax.jit
+    def gen(key, live):
+        kz, kn = jax.random.split(key)
+        e = (
+            jax.random.normal(kz, (ch, args.rank), jnp.float32) @ mix
+            + args.noise * jax.random.normal(kn, (ch, d), jnp.float32)
+        )
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        q, s = quantize_rows_int8(e)
+        # rows past the corpus size keep the freshly-allocated-slab
+        # invariant (zeros): searches/sketches mask by size
+        keep = jax.lax.broadcasted_iota(jnp.int32, (ch,), 0) < live
+        return (
+            jnp.where(keep[:, None], q, 0),
+            jnp.where(keep, s, 0.0),
+            jnp.where(keep, 1.0, 0.0),  # norms: synthetic rows are unit
+        )
+
     t0 = time.monotonic()
     done = 0
-    while done < args.rows:
-        n = min(1_000_000, args.rows - done)
-        emb = rng.standard_normal((n, cfg.projection_dim), dtype=np.float32)
-        paths = [f"/pictures/img_{done+i:08d}.jpg" for i in range(n)]
-        index.add(paths, emb)
-        done += n
-        print(f"[build] {done/1e6:.0f}M ({time.monotonic()-t0:.0f}s)", flush=True)
+    si = 0
+    while done < n:
+        live = min(ch, n - done)
+        q, s, nrm = gen(jax.random.key(si), jnp.asarray(live, jnp.int32))
+        z = jnp.asarray(0, jnp.int32)
+        index._emb_slabs[si] = _write_block(index._emb_slabs[si], q, z)
+        index._scale_slabs[si] = _write_block(index._scale_slabs[si], s, z)
+        index._norm_slabs[si] = _write_block(index._norm_slabs[si], nrm, z)
+        done += live
+        si += 1
+    float(index._emb_slabs[si - 1][0, 0])  # generation complete
+    index._paths = [f"/pictures/img_{i:08d}.jpg" for i in range(n)]
+    # _row left empty on purpose: the decomposition uses no feedback and
+    # the 10M path->row dict costs ~2 GB host RAM it never reads
+    index._size = n
+    log(f"[build] {n/1e6:.2f}M rows in {time.monotonic()-t0:.0f}s")
 
-    # a real engine around the prebuilt index (tiny empty store swapped out)
+    t0 = time.monotonic()
+    index.build_sketch(dtype=args.sketch_dtype, est_k=args.k)
+    assert index.sketch_fresh, "certifiability gate refused the sketch?!"
+    log(f"[build] {args.sketch_dtype} sketch in {time.monotonic()-t0:.0f}s")
+
+    # a real engine around the prebuilt index
     eng_args = ServerArgs(
         model_weights="/nonexistent.safetensors",
         model="clip-tiny-test",
         media_dir="/pictures",
         index_dir="/tmp/isx_decomp_idx_unused",
-        k=1000,
+        k=args.k,
+        search_twostage=True,
+        sketch_dtype=args.sketch_dtype,
     )
     engine = SearchEngine(eng_args)
     engine.embedder = embedder
     engine.cfg = cfg
     engine.index = index
-    engine._wire_cache = []
+    engine.mesh = None
+    engine._wire_cache = {}
+    engine._frag_cache = {}
     engine._text_cache = {}
 
-    # warm up every compiled path with dependent fetches
-    for q in QUERIES[:3]:
-        engine.search(q)
     n_q = args.queries
-    qs = [f"{QUERIES[i % len(QUERIES)]} {i}" for i in range(n_q)]
-
     stages = {}
+    counters = {}
+    results = {
+        "rows": n,
+        "k": args.k,
+        "sketch_dtype": args.sketch_dtype,
+        "stages_ms": stages,
+    }
 
+    def save():
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+    # ---- tunnel rtt: device_get of a READY tiny array ------------------
+    ready = jnp.arange(8.0)
+    ready.block_until_ready()
+    jax.device_get(ready)
+    t = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.device_get(ready)
+        t.append(time.perf_counter() - t0)
+    stages["tunnel_rtt"] = p50(t) * 1e3
+    log(f"[rtt] {stages['tunnel_rtt']:.3f} ms")
+    save()
+
+    # ---- host stages ----------------------------------------------------
+    qs = [f"{QUERIES[i % len(QUERIES)]} {i}" for i in range(n_q)]
     t = []
     for q in qs:
         t0 = time.perf_counter()
-        tokenizer([q], cfg.text.context_length)
+        tokenizer([q])
         t.append(time.perf_counter() - t0)
-    stages["tokenize"] = p50(t)
+    stages["host_tokenize"] = p50(t) * 1e3
 
-    t = []
-    for q in qs:
-        t0 = time.perf_counter()
-        emb = embedder.embed_text(q + " x")  # cache-miss path
-        t.append(time.perf_counter() - t0)
-    stages["text_embed"] = p50(t)
+    # ---- device stages (amortized protocol: N async dispatches + one
+    # dependent fetch; dispatch pipelining keeps the tunnel out) ----------
+    ids1 = tokenizer([qs[0]])
+    ids8 = np.repeat(ids1, 8, axis=0)
+    ids8_dev = jnp.asarray(ids8)
+    text_fn = embedder.encode_text_fn
 
-    qvec = embedder.embed_text("decomposition probe")
+    def amortized(fn, out_leaf, reps):
+        fn()  # compile/warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(reps):
+                out = fn()
+            float(np.asarray(out_leaf(out)).ravel()[0])
+            dt = (time.perf_counter() - t0) / reps
+            best = dt if best is None else min(best, dt)
+        return best * 1e3
+
+    stages["device_tower_b8"] = amortized(
+        lambda: text_fn(params, input_ids=ids8_dev), lambda o: o, 20
+    )
+    save()
+
+    # the exact fused program the engine serves with (same cache key path)
+    sk, k2, c, slabs, norms, scales, pens, size, _ = index._twostage_snapshot(
+        args.k, 4096, [[]]
+    )
+    from image_search_tpu.index.index import _fused_twostage_fn
+    from image_search_tpu.index.twostage import BLOCK
+
+    nb = sum(s_.shape[0] for s_ in slabs) // BLOCK
+    per_q = c // 2 if sk.sketches[0].dtype == jnp.bfloat16 else c // 4
+    m = min(max(c, per_q), nb - 1)
+    fused = _fused_twostage_fn(text_fn, k2, m, 1)
+    sel = jnp.full((8, 8), -1, jnp.int32)
+    fargs = (
+        params, ids8_dev, sel, slabs, norms, scales, pens, size,
+        sk.sketches, sk.resid, sk.basis, sk.ub_slack,
+    )
+    stages["device_fused"] = amortized(
+        lambda: fused(*fargs), lambda o: o[0], 15
+    )
+    s_, i_, cert_, _t = fused(*fargs)
+    counters["amortized_fused_certified"] = bool(jax.device_get(cert_))
+    save()
+
+    # single fused call through the index API: device_fused + ONE rtt
     t = []
     for i in range(n_q):
-        qv = qvec + rng.standard_normal(qvec.shape).astype(np.float32) * 0.01
+        ids = tokenizer([qs[i]])
+        ids = np.repeat(ids, 8, axis=0)
         t0 = time.perf_counter()
-        s, idx_rows = index.search(qv, k=1000)
-        float(np.asarray(s).ravel()[0])
+        s_np, i_np, text = index.search_twostage_fused_tokens(
+            text_fn, params, ids, [[]], args.k
+        )
         t.append(time.perf_counter() - t0)
-    stages["index_search"] = p50(t)
-    s_last, i_last = index.search(qvec, k=1000)
-    s_np, i_np = np.asarray(s_last), np.asarray(i_last)
+    stages["fused_single"] = p50(t) * 1e3
+    counters["fused_single_certified"] = int(index.twostage_certified)
+    counters["fused_single_fallbacks"] = int(index.twostage_fallbacks)
+    save()
 
+    # ---- host formatting stages ----------------------------------------
+    out_rows = engine._format_results(s_np[:1][0], i_np[:1][0])
     t = []
     for _ in range(n_q):
         t0 = time.perf_counter()
-        out = engine._format_results(s_np, i_np)
+        out_rows = engine._format_results(s_np[0], i_np[0])
         t.append(time.perf_counter() - t0)
-    stages["format_k1000"] = p50(t)
+    stages["host_format"] = p50(t) * 1e3
     t = []
     for _ in range(n_q):
         t0 = time.perf_counter()
-        json.dumps({"images": out})
+        engine.render_images_json(out_rows)
         t.append(time.perf_counter() - t0)
-    stages["json_serialize"] = p50(t)
+    stages["host_render"] = p50(t) * 1e3
+    save()
 
+    # ---- engine e2e (cold -> fused path) --------------------------------
+    engine.search(qs[0])  # warm every compiled serving bucket
     t = []
-    for i, q in enumerate(qs):
+    for i in range(n_q):
+        q = f"engine cold {i} {QUERIES[i % len(QUERIES)]}"
         t0 = time.perf_counter()
-        engine.search(q + " full")
+        engine.search(q)
         t.append(time.perf_counter() - t0)
-    stages["engine_search_e2e"] = p50(t)
+    stages["engine_e2e"] = p50(t) * 1e3
+    from image_search_tpu.utils.metrics import global_metrics
 
-    # loopback HTTP through the real app
+    counters["engine_fused_searches"] = global_metrics.snapshot()["counters"].get(
+        "fused_searches", 0
+    )
+    save()
+
+    # ---- loopback HTTP through the real app ------------------------------
     import asyncio
 
     from aiohttp.test_utils import TestClient, TestServer
@@ -178,30 +347,42 @@ def main():
         await c.start_server()
         lat = []
         try:
+            r = await c.post("/search", json={"q": "http warm"})
+            await r.read()
             for i in range(n_q):
                 t0 = time.perf_counter()
                 r = await c.post("/search", json={"q": f"http probe {i}"})
-                await r.json()
+                body = await r.read()
                 lat.append(time.perf_counter() - t0)
+                assert r.status == 200 and len(body) > 1000
         finally:
             await c.close()
         return lat
 
     lat = asyncio.new_event_loop().run_until_complete(drive())
-    stages["http_post_e2e"] = p50(lat)
+    stages["http_e2e"] = p50(lat) * 1e3
 
-    out_path = os.path.join(os.path.dirname(__file__), "latency_decomp.json")
-    report = {
-        "rows": args.rows,
-        "stages_ms": {k: round(v * 1e3, 3) for k, v in stages.items()},
+    # ---- accounting -------------------------------------------------------
+    host_total = (
+        stages["host_tokenize"] + stages["host_format"] + stages["host_render"]
+    )
+    # ONE device round trip per request (module docstring): subtracting a
+    # single tunnel rtt from the loopback p50 removes the sandbox's
+    # transfer floor and nothing else
+    wire = stages["http_e2e"] - stages["tunnel_rtt"]
+    closure = (
+        stages["device_fused"] + host_total + stages["tunnel_rtt"]
+    )
+    results["derived_ms"] = {
+        "host_total": round(host_total, 3),
+        "wire_p50_tunnel_subtracted": round(wire, 3),
+        "closure_device_plus_host_plus_rtt": round(closure, 3),
+        "closure_vs_http_e2e_gap": round(stages["http_e2e"] - closure, 3),
     }
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
-    print("\n| stage | p50 |")
-    print("|---|---|")
-    for k, v in stages.items():
-        print(f"| {k} | {v*1e3:.2f} ms |")
+    results["counters"] = counters
+    results["stages_ms"] = {k: round(v, 3) for k, v in stages.items()}
+    save()
+    print(json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":

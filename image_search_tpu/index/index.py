@@ -271,7 +271,9 @@ def _fused_twostage_fn(text_fn, k: int, m: int, share: int):
             slabs, sketches, resid, basis, size, q, k, m,
             scales, pens, ub_slack, share,
         )
-        return s, i, cert, text
+        # the certificate is reduced IN-program: the caller's single
+        # device_get is the only host round trip on the serving path
+        return s, i, jnp.all(cert), text
 
     return fn
 
@@ -1157,10 +1159,14 @@ class VectorIndex:
             params, jnp.asarray(ids), jnp.asarray(sel), slabs, norms,
             scales, pens, size, sk.sketches, sk.resid, sk.basis, sk.ub_slack,
         )
-        if bool(jnp.all(cert)):
+        # ONE host round trip for the whole request: certificate + scores
+        # + ids fetched together (the failure case wastes a ~64 KB s/i
+        # transfer, the success case saves two sequential RTTs)
+        cert_ok, s_np, i_np = jax.device_get((cert, s[:B], i[:B]))
+        if bool(cert_ok):
             self.twostage_certified += 1
             self._twostage_consec_failures = 0
-            return np.asarray(s[:B]), np.asarray(i[:B]), text
+            return s_np, i_np, text
         if count_failures:
             self._note_twostage_failure()
         else:

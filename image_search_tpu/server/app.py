@@ -171,7 +171,12 @@ def build_app(
         except Exception:
             log.exception("search failed")
             return web.Response(status=500)
-        return web.json_response({"images": images})
+        # pre-rendered body (byte-identical to json.dumps): the per-request
+        # escape of k=1000 id/path strings was 1.78 ms of the host budget
+        return web.Response(
+            body=engine.render_images_json(images),
+            content_type="application/json",
+        )
 
     async def search_image(request: web.Request) -> web.Response:
         """POST /search_image with raw image bytes -> {"images": [...]}.
@@ -198,7 +203,10 @@ def build_app(
         except Exception:
             log.exception("image search failed")
             return web.Response(status=500)
-        return web.json_response({"images": images})
+        return web.Response(
+            body=engine.render_images_json(images),
+            content_type="application/json",
+        )
 
     async def remove(request: web.Request) -> web.Response:
         """POST /remove {"images": ["media/...", ...]} -> {"removed": n}.

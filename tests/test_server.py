@@ -902,3 +902,47 @@ def test_wire_cache_is_bounded(tmp_path):
     again = eng.search("anything", [], k=5)
     assert [r["image_path"] for r in again] == [r["image_path"] for r in res]
     assert all(r["id"] for r in again)
+
+
+def test_render_images_json_byte_identical(tmp_path):
+    """The pre-rendered /search body (render_images_json) must be
+    BYTE-identical to json.dumps on adversarial ids/paths — quotes,
+    backslashes, non-ASCII, literal %22 — and obey the fragment-cache
+    bound (round-4: the per-request escape was 1.78 ms of the host
+    budget at k=1000)."""
+    import json
+
+    media = str(tmp_path / "pics")
+    make_corpus(media, n=3)
+    args = ServerArgs(
+        model_weights=str(tmp_path / "missing.safetensors"),
+        model="clip-tiny-test",
+        media_dir=media,
+        index_dir=str(tmp_path / "idx"),
+    )
+    eng = SearchEngine(args)
+    images = [
+        {"id": "media%2Fa.jpg", "image_path": "media/a.jpg", "score": 0.5},
+        {"id": "media%2Fwei%22rd.jpg", "image_path": 'media/wei"rd.jpg',
+         "score": -0.0072754137217998505},
+        {"id": "media%2F%C3%BC.jpg", "image_path": "media/ü\\x.jpg",
+         "score": 1.0},
+        {"id": "media%2F%2522.jpg", "image_path": "media/%22.jpg",
+         "score": 3.0517578125e-05},
+    ]
+    got = eng.render_images_json(images)
+    want = json.dumps({"images": images}).encode()
+    assert got == want
+    # warm render (fragments memoized) is still identical
+    assert eng.render_images_json(images) == want
+    # cache bound: never exceeded, correctness survives the clear
+    eng.WIRE_CACHE_MAX = 2
+    eng._frag_cache.clear()
+    assert eng.render_images_json(images) == want
+    assert len(eng._frag_cache) <= 2
+    assert eng.render_images_json([]) == b'{"images": []}'
+    # the live endpoint serves the pre-rendered body with the JSON type
+    eng.scan()
+    res = eng.search("anything", [], k=3)
+    body = eng.render_images_json(res)
+    assert json.loads(body) == {"images": res}
