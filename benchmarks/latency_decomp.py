@@ -138,34 +138,40 @@ def main():
     n = args.rows
     log(f"[build] {n/1e6:.2f}M-row int8 index (device-side generation)")
     index = VectorIndex(d, quantize="int8", capacity=n)
-    ch = index._emb_slabs[0].shape[0]  # one generator call fills one slab
     mix = jax.device_put(
         jnp.asarray(np.random.default_rng(7).normal(size=(args.rank, d)), jnp.float32)
     )
 
-    @jax.jit
-    def gen(key, live):
-        kz, kn = jax.random.split(key)
-        e = (
-            jax.random.normal(kz, (ch, args.rank), jnp.float32) @ mix
-            + args.noise * jax.random.normal(kn, (ch, d), jnp.float32)
-        )
-        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-        q, s = quantize_rows_int8(e)
-        # rows past the corpus size keep the freshly-allocated-slab
-        # invariant (zeros): searches/sketches mask by size
-        keep = jax.lax.broadcasted_iota(jnp.int32, (ch,), 0) < live
-        return (
-            jnp.where(keep[:, None], q, 0),
-            jnp.where(keep, s, 0.0),
-            jnp.where(keep, 1.0, 0.0),  # norms: synthetic rows are unit
-        )
+    def make_gen(rows):
+        # one generator per distinct slab size (the tail slab is smaller)
+        @jax.jit
+        def gen(key, live):
+            kz, kn = jax.random.split(key)
+            e = (
+                jax.random.normal(kz, (rows, args.rank), jnp.float32) @ mix
+                + args.noise * jax.random.normal(kn, (rows, d), jnp.float32)
+            )
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+            q, s = quantize_rows_int8(e)
+            # rows past the corpus size keep the freshly-allocated-slab
+            # invariant (zeros): searches/sketches mask by size
+            keep = jax.lax.broadcasted_iota(jnp.int32, (rows,), 0) < live
+            return (
+                jnp.where(keep[:, None], q, 0),
+                jnp.where(keep, s, 0.0),
+                jnp.where(keep, 1.0, 0.0),  # norms: synthetic rows are unit
+            )
+
+        return gen
 
     t0 = time.monotonic()
+    gens = {}
     done = 0
     si = 0
     while done < n:
-        live = min(ch, n - done)
+        rows = index._emb_slabs[si].shape[0]
+        gen = gens.setdefault(rows, make_gen(rows))
+        live = min(rows, n - done)
         q, s, nrm = gen(jax.random.key(si), jnp.asarray(live, jnp.int32))
         z = jnp.asarray(0, jnp.int32)
         index._emb_slabs[si] = _write_block(index._emb_slabs[si], q, z)
@@ -218,14 +224,24 @@ def main():
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
 
-    # ---- tunnel rtt: device_get of a READY tiny array ------------------
-    ready = jnp.arange(8.0)
-    ready.block_until_ready()
-    jax.device_get(ready)
+    # ---- tunnel rtt: dispatch+fetch of a FRESH tiny array each probe.
+    # jax caches the host copy after the first device_get of an array, so
+    # re-fetching the same buffer measures a dict lookup, not the tunnel
+    # (first version of this probe read 0.005 ms against a ~30 ms floor).
+    # A fresh add is sub-microsecond of device work: the probe is one
+    # dispatch + one transfer = one round trip.
+    base = jnp.arange(8.0)
+    base.block_until_ready()
+
+    @jax.jit
+    def bump(x, i):
+        return x + i
+
+    jax.device_get(bump(base, 1))
     t = []
-    for _ in range(50):
+    for i in range(50):
         t0 = time.perf_counter()
-        jax.device_get(ready)
+        jax.device_get(bump(base, i))
         t.append(time.perf_counter() - t0)
     stages["tunnel_rtt"] = p50(t) * 1e3
     log(f"[rtt] {stages['tunnel_rtt']:.3f} ms")
@@ -243,8 +259,7 @@ def main():
     # ---- device stages (amortized protocol: N async dispatches + one
     # dependent fetch; dispatch pipelining keeps the tunnel out) ----------
     ids1 = tokenizer([qs[0]])
-    ids8 = np.repeat(ids1, 8, axis=0)
-    ids8_dev = jnp.asarray(ids8)
+    ids1_dev = jnp.asarray(ids1)
     text_fn = embedder.encode_text_fn
 
     def amortized(fn, out_leaf, reps):
@@ -260,8 +275,8 @@ def main():
             best = dt if best is None else min(best, dt)
         return best * 1e3
 
-    stages["device_tower_b8"] = amortized(
-        lambda: text_fn(params, input_ids=ids8_dev), lambda o: o, 20
+    stages["device_tower_b1"] = amortized(
+        lambda: text_fn(params, input_ids=ids1_dev), lambda o: o, 20
     )
     save()
 
@@ -275,10 +290,12 @@ def main():
     nb = sum(s_.shape[0] for s_ in slabs) // BLOCK
     per_q = c // 2 if sk.sketches[0].dtype == jnp.bfloat16 else c // 4
     m = min(max(c, per_q), nb - 1)
+    # Bpad=1: the program a lone HTTP request actually runs (the old
+    # Bpad=8 pad measured +9 ms of selection work at 10M)
     fused = _fused_twostage_fn(text_fn, k2, m, 1)
-    sel = jnp.full((8, 8), -1, jnp.int32)
+    sel = jnp.full((1, 8), -1, jnp.int32)
     fargs = (
-        params, ids8_dev, sel, slabs, norms, scales, pens, size,
+        params, ids1_dev, sel, slabs, norms, scales, pens, size,
         sk.sketches, sk.resid, sk.basis, sk.ub_slack,
     )
     stages["device_fused"] = amortized(
@@ -292,7 +309,6 @@ def main():
     t = []
     for i in range(n_q):
         ids = tokenizer([qs[i]])
-        ids = np.repeat(ids, 8, axis=0)
         t0 = time.perf_counter()
         s_np, i_np, text = index.search_twostage_fused_tokens(
             text_fn, params, ids, [[]], args.k

@@ -1121,17 +1121,19 @@ class VectorIndex:
     ):
         """Whole cold-query path in ONE dispatched program (verdict #1):
         token ids [Bpad, L] -> text tower -> Rocchio -> certified two-stage.
-        ``ids`` must already be padded to a pow2 bucket >= 8 by REPEATING
-        row 0 (an EOS-only pad row would be a distinct query and claim a
-        share of the union candidate budget; a repeat adds no new blocks —
-        same rule as ``search_twostage_feedback_batch``'s text padding).
+        ``ids`` must already be padded to a pow2 bucket (>= 1: a lone HTTP
+        request runs the B=1 program — padding it to 8 measured +9 ms of
+        selection work at 10M, latency_decomp round 4) by REPEATING row 0
+        (an EOS-only pad row would be a distinct query and claim a share
+        of the union candidate budget; a repeat adds no new blocks — same
+        rule as ``search_twostage_feedback_batch``'s text padding).
 
-        Returns ``(scores[:B], ids[:B], text[Bpad])`` on certified success;
-        ``(None, None, text)`` when the certificate failed (caller runs the
-        full-scan fallback on the already-computed embeddings); and
-        ``(None, None, None)`` when the fused path cannot serve at all
-        (no/stale sketch, sharded index, corpus too small for block
-        granularity) — caller uses the classic two-program path."""
+        Returns ``(scores[:B], ids[:B], text[:B] np)`` on certified
+        success; ``(None, None, text)`` when the certificate failed
+        (caller runs the full-scan fallback on the already-computed
+        embeddings); and ``(None, None, None)`` when the fused path cannot
+        serve at all (no/stale sketch, sharded index, corpus too small for
+        block granularity) — caller uses the classic two-program path."""
         B = len(selected_paths_list)
         sk, k2, c, slabs, norms, scales, pens, size, rows_list = (
             self._twostage_snapshot(k, candidates, selected_paths_list)
@@ -1160,18 +1162,21 @@ class VectorIndex:
             scales, pens, size, sk.sketches, sk.resid, sk.basis, sk.ub_slack,
         )
         # ONE host round trip for the whole request: certificate + scores
-        # + ids fetched together (the failure case wastes a ~64 KB s/i
-        # transfer, the success case saves two sequential RTTs)
-        cert_ok, s_np, i_np = jax.device_get((cert, s[:B], i[:B]))
+        # + ids + text embeddings fetched together (text is ~B x 3 KB; the
+        # caller's cache wants it either way, and fetching it here kills
+        # the B per-query device slice dispatches the engine used to pay)
+        cert_ok, s_np, i_np, text_np = jax.device_get(
+            (cert, s[:B], i[:B], text[:B])
+        )
         if bool(cert_ok):
             self.twostage_certified += 1
             self._twostage_consec_failures = 0
-            return s_np, i_np, text
+            return s_np, i_np, text_np
         if count_failures:
             self._note_twostage_failure()
         else:
             self.twostage_fallbacks += 1
-        return None, None, text
+        return None, None, text_np
 
     # -- queries ---------------------------------------------------------------
 

@@ -433,9 +433,11 @@ class SearchEngine:
         already computed — the tower is never re-run."""
         B = len(queries)
         ids = self.embedder.tokenizer(list(queries))
-        Bpad = 8
-        while Bpad < B:
-            Bpad *= 2
+        # pow2 bucket from 1: the lone-request B=1 program is ~9 ms
+        # cheaper at 10M than padding to 8 (selection work scales with
+        # Bpad, latency_decomp round 4); the family {1,2,4,...} up to
+        # twostage-max-batch is precompiled by warm_serving_buckets
+        Bpad = 1 << (B - 1).bit_length() if B > 1 else 1
         if Bpad > B:
             # pad by REPEATING query 0: an EOS-only pad row would be a
             # distinct query and claim union-budget share (index method doc)
@@ -516,6 +518,21 @@ class SearchEngine:
                     self.args.k,
                     count_failures=False,
                 )
+                if self.embedder.tokenizer is not None and self.mesh is None:
+                    # the fused one-program family serves cold arrivals at
+                    # Bpad in {1,2,4,...} (engine._search_many_fused) —
+                    # compile those too, or the first cold request per
+                    # bucket pays the biggest compile of all (tower +
+                    # bound + rescore in one program)
+                    ids = self.embedder.tokenizer([f"\0warm_fused_{i}" for i in range(r)])
+                    self.index.search_twostage_fused_tokens(
+                        self.embedder.encode_text_fn,
+                        self.embedder.params,
+                        ids,
+                        [[] for _ in range(r)],
+                        self.args.k,
+                        count_failures=False,
+                    )
                 if r >= tmb:
                     break
                 r *= 2
