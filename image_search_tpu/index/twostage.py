@@ -732,13 +732,34 @@ def twostage_topk_block(
     )
     infl = jnp.sqrt(qs2) * ub_slack + SLACK
 
-    # stage 1: per-slab UB -> per-block maxima (the full [B, N] UB array is
-    # never materialized; each slab's UB tile reduces to [B, n_b/128])
-    bmax_parts = []
-    start = 0
+    # PER-SLAB QUOTAS (round 4): selection and gather stay WITHIN each
+    # slab. The first version selected m blocks in concat-block space and
+    # gathered them with a masked pass over EVERY slab — each pass reads
+    # m*128 rows, so a 10-slab production index paid 10x the gather
+    # traffic of the single-slab benchmark corpus (measured: 8.3 ms
+    # single-slab vs ~21 ms on ten 2^20-row slabs, latency_decomp round
+    # 4). With per-slab quotas the gather reads ~m blocks TOTAL regardless
+    # of slab count. Each slab's static quota m_i is proportional to its
+    # block count; the certificate stays sound (every non-chosen block of
+    # every slab is covered by rest_max) — only tightness redistributes:
+    # a query whose hot blocks all live in one slab gets m_i from it
+    # instead of m. Benchmark corpora insert in arrival order, so hot
+    # rows scatter ~uniformly across slabs and the quota costs nothing.
+    B = q.shape[0]
+    share_eff = B if share <= 0 else max(1, min(share, B))
+    nb_list = [s.shape[0] // BLOCK for s in slabs]
+    nb = sum(nb_list)
+    quotas = [min(nb_i, -(-m * nb_i // nb)) for nb_i in nb_list]
+
     qsk = q_s.astype(sketches[0].dtype)
+    rows_parts, rscale_parts, rpens_parts, gid_parts = [], [], [], []
+    rest_max = jnp.full((B,), NEG_INF)
+    start = 0
     for i, sk in enumerate(sketches):
         n = sk.shape[0]
+        nb_i, m_i = nb_list[i], quotas[i]
+        # stage 1: this slab's UB tile -> per-block maxima (the full
+        # [B, N] UB array is never materialized)
         dot = jax.lax.dot_general(
             qsk, sk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HIGHEST,
@@ -748,58 +769,70 @@ def twostage_topk_block(
             ub = ub + pens[i][None, :]
         valid = (jax.lax.broadcasted_iota(jnp.int32, (n,), 0) + start) < size
         ub = jnp.where(valid[None, :], ub, NEG_INF)
-        bmax_parts.append(ub.reshape(ub.shape[0], n // BLOCK, BLOCK).max(2))
+        bmax = ub.reshape(B, nb_i, BLOCK).max(2)           # [B, nb_i]
+
+        # one shared block set per slab for the whole batch (gather cost
+        # is B-invariant)
+        if share_eff == 1 or m_i <= 1:
+            # one distinct query (any further rows are pad copies): the
+            # whole quota is its top-m_i by batch-max == its own blockmax
+            _, blocks = jax.lax.top_k(bmax.max(0), m_i)    # [m_i]
+        else:
+            # union of per-query top-(m_i//share) blocks, FILLED to m_i
+            # with the best remaining blocks by batch-max (module comment:
+            # batch-max alone lets one hot query hog the budget — measured
+            # never certifying on distinct-8 batches; the union guarantees
+            # each query its own m_i//share best blocks per slab, and the
+            # fill makes identical-query batches degenerate to exactly the
+            # old batch-max selection). Pad copies of a real query pick
+            # its same set, so the union stays within share*mq <= m_i. The
+            # lift promotes finite union blocks above every non-union
+            # block while leaving NEG_INF (invalid/tombstoned) blocks
+            # unpromoted — any selection is sound (the certificate only
+            # reads the final mask), this one is just tight for both batch
+            # shapes.
+            mq = max(1, m_i // share_eff)
+            shared = bmax.max(0)                           # [nb_i]
+            _, qb = jax.lax.top_k(bmax, mq)                # [B, mq]
+            union = jnp.zeros((nb_i,), bool).at[qb.reshape(-1)].set(True)
+            _, blocks = jax.lax.top_k(
+                jnp.where(union, shared + 1e30, shared), m_i
+            )                                              # [m_i] distinct
+        chosen = jnp.zeros((nb_i,), bool).at[blocks].set(True)
+        rest_max = jnp.maximum(
+            rest_max, jnp.where(chosen[None, :], NEG_INF, bmax).max(1)
+        )
+
+        # stage 2 gather: this slab's chosen blocks from THIS slab only
+        d = slabs[i].shape[1]
+        rows_parts.append(slabs[i].reshape(nb_i, BLOCK, d)[blocks])
+        if scales is not None:
+            rscale_parts.append(scales[i].reshape(nb_i, BLOCK)[blocks])
+        if pens is not None:
+            rpens_parts.append(pens[i].reshape(nb_i, BLOCK)[blocks])
+        gid_parts.append(
+            (start + blocks[:, None] * BLOCK
+             + jnp.arange(BLOCK, dtype=jnp.int32)[None, :]).reshape(-1)
+        )
         start += n
-    bmax = (
-        bmax_parts[0] if len(bmax_parts) == 1
-        else jnp.concatenate(bmax_parts, axis=1)
-    )                                                      # [B, nb]
-    nb = bmax.shape[1]
 
-    # one shared block set for the whole batch (gather cost is B-invariant)
-    B = bmax.shape[0]
-    share_eff = B if share <= 0 else max(1, min(share, B))
-    if share_eff == 1:
-        # one distinct query (any further rows are pad copies): the whole
-        # budget is its top-m by batch-max == its own blockmax
-        _, blocks = jax.lax.top_k(bmax.max(0), m)          # [m]
-    else:
-        # union of per-query top-(m//share) blocks, FILLED to m with the
-        # best remaining blocks by batch-max (module comment: batch-max
-        # alone lets one hot query hog the budget — measured never
-        # certifying on distinct-8 batches; the union guarantees each
-        # query its own m//share best blocks, and the fill makes
-        # identical-query batches degenerate to exactly the old batch-max
-        # selection). Pad copies of a real query pick its same set, so
-        # the union stays within share*mq <= m. The lift promotes finite
-        # union blocks above every non-union block while leaving NEG_INF
-        # (invalid/tombstoned) blocks unpromoted — any selection is sound
-        # (the certificate only reads the final mask), this one is just
-        # tight for both batch shapes.
-        mq = max(1, m // share_eff)
-        shared = bmax.max(0)                               # [nb]
-        _, qb = jax.lax.top_k(bmax, mq)                    # [B, mq]
-        union = jnp.zeros((nb,), bool).at[qb.reshape(-1)].set(True)
-        _, blocks = jax.lax.top_k(
-            jnp.where(union, shared + 1e30, shared), m
-        )                                                  # [m] distinct
-    chosen = jnp.zeros((nb,), bool).at[blocks].set(True)
-    rest_max = jnp.where(chosen[None, :], NEG_INF, bmax).max(1)  # [B]
+    mt = sum(quotas)
+    cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+    rows = cat(rows_parts).reshape(mt * BLOCK, slabs[0].shape[1])
+    gid = cat(gid_parts)
 
-    # stage 2: exact rescore of every row in the chosen blocks
-    rows, rscale, rpens, gid = _gather_block_rows(
-        slabs, scales, pens, blocks, pens is not None
-    )
+    # exact rescore of every gathered row in ONE matmul
     if is_int8:
         s32 = jnp.einsum("bd,nd->bn", qi, rows, preferred_element_type=jnp.int32)
+        rscale = cat(rscale_parts).reshape(mt * BLOCK)
         ex = s32.astype(jnp.float32) * qs[:, None] * rscale[None, :]
     else:
         ex = jnp.einsum(
             "bd,nd->bn", q.astype(rows.dtype), rows,
             preferred_element_type=jnp.float32,
         ).astype(jnp.float32)
-    if rpens is not None:
-        ex = ex + rpens[None, :]
+    if pens is not None:
+        ex = ex + cat(rpens_parts).reshape(mt * BLOCK)[None, :]
     ex = jnp.where(gid[None, :] < size, ex, NEG_INF)
 
     vals, pos = exact_topk(ex, k)
