@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""Learned-signal loop: fine-tune -> R@1 gate -> serve -> /search asserts.
+
+Round-3 verdict #3: nothing had demonstrated that the training stack
+produces a checkpoint that LEARNS — the egress-free stand-in for the
+reference's shipped-pretrained-weights quality claim (README.md:5-8).
+This example closes that loop end to end with only procedural data:
+
+1. generates a labeled photo library — 6 classes = 3 colors x 2 patterns
+   (solid square blob vs striped texture: grossly different patch
+   statistics, so class identity is learnable by a tiny tower and the
+   gate tests the TRAINING STACK, not model capacity) — with caption
+   sidecars in the finetune.find_pairs layout;
+2. measures retrieval of the RANDOM-init tower on held-out eval sets;
+3. fine-tunes with the real production loop (train.finetune.run_finetune:
+   prefetched batches, decode pool, the jitted contrastive step);
+4. re-measures: the train/eval.py gate must show bidirectional R@1
+   decisively above chance;
+5. saves the checkpoint + tokenizer THE SERVER WAY (save_checkpoint with
+   embedded config) and boots a real SearchEngine + aiohttp app from
+   those files — then asserts text queries retrieve the right class
+   through the real POST /search endpoint.
+
+Eval design: each of the 4 eval template sets holds ONE image per class
+(6 aligned pairs, all captions distinct) and is scored independently
+with train/eval.py's pessimistic-tie metrics, then averaged. Two eval
+rows of the SAME class would be interchangeable — the pessimistic
+ranking would pin R@1 at 0 by construction, which an earlier version of
+this harness discovered the hard way.
+
+Runs fully offline on CPU in ~3 minutes. Used by
+tests/test_learned_retrieval.py as the CI gate; RESULTS.md records the
+measured before/after R@1.
+
+    python examples/learned_retrieval.py [--steps 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+COLORS = {"red": (220, 40, 40), "green": (40, 200, 60), "blue": (50, 80, 230)}
+PATTERNS = ("square", "stripes")
+N_EVAL_SETS = 4  # eval images per class, one per template set
+
+# eval captions (never used verbatim in training); {p} is the class
+# phrase — "a red square" / "red stripes"
+EVAL_TEMPLATES = (
+    "a photo of {p}",
+    "an image of {p}",
+    "a picture showing {p}",
+    "{p} on a gray background",
+)
+# train captions: varied phrasings, plus position/size for squares so
+# sampled contrastive batches carry few duplicate captions
+TRAIN_TEMPLATES = {
+    "square": (
+        "a photo of a {sz} {c} square in the {pos}",
+        "a {sz} {c} square",
+        "one {c} square near the {pos}",
+        "the {pos} has a {c} square",
+        "an image showing a {sz} {c} square",
+        "a {c} square over gray noise",
+    ),
+    "stripes": (
+        "a photo of {c} stripes",
+        "an image showing {c} stripes",
+        "{c} stripes across the picture",
+        "a picture of {c} stripes",
+        "thin {c} stripes",
+        "{c} stripes over gray noise",
+    ),
+}
+
+
+def phrase(color: str, pattern: str) -> str:
+    return f"a {color} square" if pattern == "square" else f"{color} stripes"
+
+
+def draw(pattern: str, color, rng, size=64):
+    """Noisy-gray canvas + one colored pattern; returns the image and the
+    drawn geometry so square captions can describe it."""
+    img = rng.integers(90, 150, size=(size, size, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    cy, cx = rng.integers(24, size - 24, 2)
+    r = rng.integers(12, 24)
+    if pattern == "stripes":
+        ph = int(rng.integers(0, 8))
+        mask = ((yy + ph) // 4) % 2 == 0
+    else:
+        mask = (np.abs(yy - cy) <= r) & (np.abs(xx - cx) <= r)
+    img[mask] = color
+    pos = ("upper" if cy < size // 2 else "lower") + " " + (
+        "left" if cx < size // 2 else "right"
+    )
+    return img, pos, ("small" if r < 18 else "large")
+
+
+def build_library(media: str, per_class: int, seed: int = 0):
+    """Labeled corpus with caption sidecars (finetune.find_pairs layout).
+
+    Returns (train_pairs, eval_sets, all_captions): the LAST N_EVAL_SETS
+    images of every class are the eval split — eval set t holds one image
+    per class captioned with EVAL_TEMPLATES[t] (all 6 captions distinct,
+    see module docstring for why same-class eval rows are forbidden)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    train_pairs, all_caps = [], []
+    eval_sets = [[] for _ in range(N_EVAL_SETS)]
+    for color in COLORS:
+        for pattern in PATTERNS:
+            for i in range(per_class):
+                img, pos, sz = draw(pattern, COLORS[color], rng)
+                stem = f"{color}_{pattern}_{i}"
+                path = os.path.join(media, stem + ".png")
+                Image.fromarray(img).save(path)
+                if i >= per_class - N_EVAL_SETS:
+                    t = i - (per_class - N_EVAL_SETS)
+                    cap = EVAL_TEMPLATES[t].format(p=phrase(color, pattern))
+                    eval_sets[t].append((path, cap))
+                else:
+                    tmpl = TRAIN_TEMPLATES[pattern]
+                    cap = tmpl[i % len(tmpl)].format(c=color, pos=pos, sz=sz)
+                    train_pairs.append((path, cap))
+                with open(os.path.join(media, stem + ".txt"), "w") as f:
+                    f.write(cap)
+                all_caps.append(cap)
+    return train_pairs, eval_sets, all_caps
+
+
+def eval_r1(embedder, eval_sets) -> dict:
+    """Mean train/eval.py metrics over the independent eval sets."""
+    from image_search_tpu.train.eval import evaluate_pairs
+
+    metrics = [evaluate_pairs(embedder, s, ks=(1, 5))[0] for s in eval_sets]
+    keys = metrics[0].keys()
+    return {k: float(np.mean([m[k] for m in metrics])) for k in keys}
+
+
+def run(steps: int = 600, per_class: int = 16, seed: int = 0) -> dict:
+    """The whole loop; returns the measured metrics (CI asserts on them)."""
+    import jax
+
+    if not os.environ.get("IMAGE_SEARCH_DEMO_TPU"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
+    from image_search_tpu.config import CLIPConfig, TextConfig, VisionConfig
+    from image_search_tpu.models import init_params
+    from image_search_tpu.models.convert import save_checkpoint
+    from image_search_tpu.models.embedder import ClipEmbedder
+    from image_search_tpu.tokenizer import train_bpe
+    from image_search_tpu.train.finetune import run_finetune
+
+    root = tempfile.mkdtemp(prefix="learned_")
+    media = os.path.join(root, "photos")
+    os.makedirs(media)
+    train_pairs, eval_sets, caps = build_library(media, per_class, seed)
+    n_classes = len(COLORS) * len(PATTERNS)
+    print(f"[1/5] library: {len(train_pairs)} train pairs, "
+          f"{len(eval_sets)} eval sets x {n_classes} classes")
+
+    tokenizer = train_bpe(caps, vocab_size=500, context_length=16)
+    cfg = CLIPConfig(
+        name="learned-demo-clip",
+        text=TextConfig(hidden_size=128, num_layers=3, num_heads=4,
+                        vocab_size=tokenizer.vocab_size, context_length=16,
+                        eos_token_id=tokenizer.eos_id),
+        vision=VisionConfig(hidden_size=128, num_layers=3, num_heads=4,
+                            image_size=64, patch_size=8),
+        projection_dim=64,
+    )
+    params0 = init_params(jax.random.key(seed), cfg)
+
+    before = eval_r1(ClipEmbedder(params0, cfg, tokenizer=tokenizer), eval_sets)
+    print(f"[2/5] random init:  {before}")
+
+    params_ft, losses = run_finetune(
+        params0, cfg, tokenizer, train_pairs,
+        batch_size=24, steps=steps, learning_rate=1e-3, log_every=50,
+    )
+    print(f"[3/5] {steps} steps: loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+
+    embedder = ClipEmbedder(params_ft, cfg, tokenizer=tokenizer)
+    after = eval_r1(embedder, eval_sets)
+    print(f"[4/5] fine-tuned:   {after}")
+
+    # promote the checkpoint the server way: one safetensors file with the
+    # config embedded + the trained tokenizer files
+    ckpt = os.path.join(root, "models", "learned.safetensors")
+    tok_dir = os.path.join(root, "models", "tokenizer")
+    save_checkpoint(ckpt, params_ft, cfg)
+    tokenizer.save(tok_dir)
+
+    # serve it: a REAL engine booted from the files on disk, driven over
+    # the REAL wire endpoint
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from image_search_tpu.server.app import build_app
+    from image_search_tpu.server.args import ServerArgs
+    from image_search_tpu.server.engine import SearchEngine
+
+    engine = SearchEngine(ServerArgs(
+        model_weights=ckpt,
+        tokenizer_dir=tok_dir,
+        model="clip-tiny-test",  # must be ignored: the checkpoint's config wins
+        media_dir=media,
+        index_dir=os.path.join(root, "idx"),
+        k=5,
+    ))
+    assert engine.cfg.name == "learned-demo-clip"
+    engine.scan()
+
+    async def drive():
+        c = TestClient(TestServer(build_app(engine)))
+        await c.start_server()
+        per_query = {}
+        try:
+            for color in COLORS:
+                for pattern in PATTERNS:
+                    q = f"a photo of {phrase(color, pattern)}"
+                    r = await c.post("/search", json={"q": q})
+                    assert r.status == 200, (q, r.status)
+                    hits = (await r.json())["images"]
+                    names = [os.path.basename(h["image_path"]) for h in hits]
+                    per_query[q] = sum(
+                        1 for nm in names if nm.startswith(f"{color}_{pattern}_")
+                    ) / len(names)
+        finally:
+            await c.close()
+        return per_query
+
+    per_query = asyncio.new_event_loop().run_until_complete(drive())
+    precision5 = float(np.mean(list(per_query.values())))
+    hits = sum(1 for v in per_query.values() if v > 0)
+    print(f"[5/5] served /search precision@5 {precision5:.2f}, "
+          f"{hits}/{len(per_query)} queries hit (per query: {per_query})")
+    return {
+        "chance_r1": 1.0 / n_classes,
+        "before": before,
+        "after": after,
+        "losses": (losses[0], losses[-1]),
+        "served_precision_at_5": precision5,
+        "served_queries_hit": hits,
+        "served_n_queries": len(per_query),
+        "served_per_query": per_query,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--per-class", type=int, default=16)
+    args = ap.parse_args()
+    m = run(steps=args.steps, per_class=args.per_class)
+    r1b = (m["before"]["recall@1_i2t"] + m["before"]["recall@1_t2i"]) / 2
+    r1a = (m["after"]["recall@1_i2t"] + m["after"]["recall@1_t2i"]) / 2
+    print(
+        f"bidirectional R@1: {r1b:.3f} -> {r1a:.3f} "
+        f"(chance {m['chance_r1']:.3f}); served precision@5 "
+        f"{m['served_precision_at_5']:.2f}"
+    )
+    assert r1a > max(2 * m["chance_r1"], r1b + 0.25), "model did not learn"
+    assert m["served_precision_at_5"] >= 0.5, "serving did not retrieve classes"
+    assert m["served_queries_hit"] >= m["served_n_queries"] - 1, m["served_per_query"]
+
+
+if __name__ == "__main__":
+    main()
