@@ -107,108 +107,12 @@ def main():
         float((probe @ probe)[0, 0])
         log("[probe] ok")
 
-    from image_search_tpu.config import clip_vit_l14
-    from image_search_tpu.index import VectorIndex
-    from image_search_tpu.index.index import _write_block
-    from image_search_tpu.models import init_params
-    from image_search_tpu.models.embedder import ClipEmbedder
-    from image_search_tpu.parallel.sharded_search import quantize_rows_int8
-    from image_search_tpu.server.args import ServerArgs
-    from image_search_tpu.server.engine import SearchEngine
-    from image_search_tpu.tokenizer import CLIPBPETokenizer, train_bpe
+    from synth_corpus import build_engine
 
-    # real BPE tokenizer (trained on a synthetic corpus: realistic merge
-    # depth) — the production tokenize cost, not the hash stub
-    tok_dir = "/tmp/isx_decomp_tok"
-    cfg = clip_vit_l14()
-    if not os.path.exists(os.path.join(tok_dir, "vocab.json")):
-        tok = train_bpe(QUERIES * 200, vocab_size=2048)
-        tok.save(tok_dir)
-    tokenizer = CLIPBPETokenizer.from_dir(tok_dir, cfg.text.context_length)
-    import dataclasses
-
-    cfg = dataclasses.replace(
-        cfg, text=dataclasses.replace(cfg.text, eos_token_id=tokenizer.eos_id)
+    engine, embedder, tokenizer, params, cfg, index = build_engine(
+        args.rows, args.k, args.sketch_dtype, rank=args.rank, noise=args.noise
     )
-    params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    embedder = ClipEmbedder(params, cfg, tokenizer=tokenizer)
-    d = cfg.projection_dim
-
-    # ---- corpus: device-generated, injected straight into the slabs ----
     n = args.rows
-    log(f"[build] {n/1e6:.2f}M-row int8 index (device-side generation)")
-    index = VectorIndex(d, quantize="int8", capacity=n)
-    mix = jax.device_put(
-        jnp.asarray(np.random.default_rng(7).normal(size=(args.rank, d)), jnp.float32)
-    )
-
-    def make_gen(rows):
-        # one generator per distinct slab size (the tail slab is smaller)
-        @jax.jit
-        def gen(key, live):
-            kz, kn = jax.random.split(key)
-            e = (
-                jax.random.normal(kz, (rows, args.rank), jnp.float32) @ mix
-                + args.noise * jax.random.normal(kn, (rows, d), jnp.float32)
-            )
-            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-            q, s = quantize_rows_int8(e)
-            # rows past the corpus size keep the freshly-allocated-slab
-            # invariant (zeros): searches/sketches mask by size
-            keep = jax.lax.broadcasted_iota(jnp.int32, (rows,), 0) < live
-            return (
-                jnp.where(keep[:, None], q, 0),
-                jnp.where(keep, s, 0.0),
-                jnp.where(keep, 1.0, 0.0),  # norms: synthetic rows are unit
-            )
-
-        return gen
-
-    t0 = time.monotonic()
-    gens = {}
-    done = 0
-    si = 0
-    while done < n:
-        rows = index._emb_slabs[si].shape[0]
-        gen = gens.setdefault(rows, make_gen(rows))
-        live = min(rows, n - done)
-        q, s, nrm = gen(jax.random.key(si), jnp.asarray(live, jnp.int32))
-        z = jnp.asarray(0, jnp.int32)
-        index._emb_slabs[si] = _write_block(index._emb_slabs[si], q, z)
-        index._scale_slabs[si] = _write_block(index._scale_slabs[si], s, z)
-        index._norm_slabs[si] = _write_block(index._norm_slabs[si], nrm, z)
-        done += live
-        si += 1
-    float(index._emb_slabs[si - 1][0, 0])  # generation complete
-    index._paths = [f"/pictures/img_{i:08d}.jpg" for i in range(n)]
-    # _row left empty on purpose: the decomposition uses no feedback and
-    # the 10M path->row dict costs ~2 GB host RAM it never reads
-    index._size = n
-    log(f"[build] {n/1e6:.2f}M rows in {time.monotonic()-t0:.0f}s")
-
-    t0 = time.monotonic()
-    index.build_sketch(dtype=args.sketch_dtype, est_k=args.k)
-    assert index.sketch_fresh, "certifiability gate refused the sketch?!"
-    log(f"[build] {args.sketch_dtype} sketch in {time.monotonic()-t0:.0f}s")
-
-    # a real engine around the prebuilt index
-    eng_args = ServerArgs(
-        model_weights="/nonexistent.safetensors",
-        model="clip-tiny-test",
-        media_dir="/pictures",
-        index_dir="/tmp/isx_decomp_idx_unused",
-        k=args.k,
-        search_twostage=True,
-        sketch_dtype=args.sketch_dtype,
-    )
-    engine = SearchEngine(eng_args)
-    engine.embedder = embedder
-    engine.cfg = cfg
-    engine.index = index
-    engine.mesh = None
-    engine._wire_cache = {}
-    engine._frag_cache = {}
-    engine._text_cache = {}
 
     n_q = args.queries
     stages = {}
