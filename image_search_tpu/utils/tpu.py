@@ -1,22 +1,24 @@
 """TPU-specific compiler tuning shared by the hot jitted programs.
 
-``xla_tpu_scoped_vmem_limit_kib=32768`` raises XLA's scoped-VMEM budget
-from the 16 MB default to 32 MB, letting it pick larger fusion tiles for
-the ViT forward. Measured on the real v5e (benchmarks-grade dependent-fetch
-protocol, docs/PERF_NOTES.md round-2 flag sweep):
+``xla_tpu_scoped_vmem_limit_kib=40960`` raises XLA's scoped-VMEM budget
+from the 16 MB default to 40 MB, letting it pick larger fusion tiles for
+the ViT forward. The optimum moved when the core changed: under the
+round-2 core (pre dots-policy, pre CLS-last) the curve peaked at 32 MB
+(946.7 img/s vs 40 MB's 945.5); under the shipped round-3 core a
+3-repeat interleaved re-adjudication (benchmarks/vmem_repeat.py, real
+v5e, dependent-fetch protocol) found 40 MB decisively ahead:
 
-| scoped VMEM | ViT-L/14 batch-160 embed |
-|---|---|
-| 16 MB (default) | 919.7 img/s |
-| 24 MB | 930.0 |
-| **32 MB (shipped)** | **946.7** |
-| 40 MB | 945.5 |
-| 64 MB | 921.2 |
+| scoped VMEM | median of 3 (img/s) | spread |
+|---|---|---|
+| 24 MB | 961.3 | 960.9-962.6 |
+| 32 MB | 961.7 | 961.5-961.8 |
+| **40 MB (shipped)** | **968.5** | 968.3-969.2 |
 
-The curve peaks at 32 MB: bigger budgets crowd out the double-buffering
-headroom the automatic pipeliner needs. Applied per-jit (NOT process-wide):
-only the embed forward is measured to benefit; index/search programs keep
-default budgets.
+(+0.7% over 32 MB, reproduced x3 with non-overlapping ranges —
+benchmarks/vmem_repeat.json.) The batch knee stays at 160: at 40 MB,
+batch 168 drops to 960.3 and 176 collapses to 872.3 (VMEM spill).
+Applied per-jit (NOT process-wide): only the embed forward is measured
+to benefit; index/search programs keep default budgets.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from typing import Optional
 
 import jax
 
-TUNED_SCOPED_VMEM_KIB = 32768
+TUNED_SCOPED_VMEM_KIB = 40960
 
 
 def embed_compiler_options() -> Optional[dict]:
