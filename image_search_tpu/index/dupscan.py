@@ -48,7 +48,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_search_tpu.index.twostage import SLACK, SketchState
-from image_search_tpu.ops.blockmax import BLOCK, COLS_TILE, ROWS_TILE, blockpair_mask
+from image_search_tpu.ops.blockmax import (
+    BLOCK,
+    COLS_TILE,
+    ROWS_TILE,
+    blockpair_mask,
+    blockpair_values,
+)
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -174,34 +180,10 @@ def sketch_duplicate_pairs(
     corpus) — callers fall back to the legacy scan."""
     if interpret is None:
         interpret = _interpret_default()
-    assert rows_per_call % ROWS_TILE == 0 and rows_per_call % COLS_TILE == 0
     cap = max(cap, BLOCK * BLOCK)  # a 1-pair chunk can never overflow
-    # small corpora: shrink the call so padding (and the interpret-mode
-    # grid, on CPU) stays proportional to the data
-    total_cap = sum(s.shape[0] for s in sketch.sketches)
-    rows_per_call = min(
-        rows_per_call, -(-total_cap // COLS_TILE) * COLS_TILE
+    s_all, n_pad, slack, nb_real, rows_per_call = _prep_sketch(
+        pens, size, sketch, rows_per_call
     )
-
-    # ---- prep: one augment+zero pass per slab, concat, pad --------------
-    parts_s, deltas = [], []
-    start = 0
-    for i, slab_sketch in enumerate(sketch.sketches):
-        pen = None if pens is None else pens[i]
-        a16, d = _prep_slab(
-            slab_sketch, sketch.resid[i], pen,
-            jnp.asarray(start, jnp.int32), jnp.asarray(size, jnp.int32),
-        )
-        parts_s.append(a16)
-        deltas.append(d)
-        start += slab_sketch.shape[0]
-    # stored-bf16 sketches: _prep_slab's delta only sees the f32 view of
-    # the stored values; the original quantization error is bounded by the
-    # state's recorded ub_slack (>= max storage delta by construction)
-    max_delta = float(max(float(jnp.max(jnp.stack(deltas))), 0.0))
-    if sketch.sketches[0].dtype == jnp.bfloat16 and sketch.ub_slack is not None:
-        max_delta += float(sketch.ub_slack)
-    slack = _pair_slack(max_delta)
     # padded/zeroed rows rely on their UB of 0 falling below the compare
     # point — thresholds at or under the slack (~0.013) are not duplicate
     # territory anyway, so refuse rather than emit garbage
@@ -209,13 +191,6 @@ def sketch_duplicate_pairs(
         raise DupScanBailout(
             f"threshold {threshold} <= pair slack {slack:.4f}; use the legacy scan"
         )
-
-    n_pad = -(-start // rows_per_call) * rows_per_call
-    s_all = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
-    del parts_s  # the concat supersedes the per-slab copies (HBM headroom)
-    if n_pad != start:
-        s_all = jnp.pad(s_all, ((0, n_pad - start), (0, 0)))
-    nb_real = -(-size // BLOCK)
     n_calls = n_pad // rows_per_call
     total_block_pairs = nb_real * (nb_real + 1) // 2
     budget = max(int(max_rescore_frac * total_block_pairs), 4 * nb_real)
@@ -274,6 +249,164 @@ def sketch_duplicate_pairs(
     bi, bj = bi[order], bj[order]
 
     # ---- phase 2: exact rescore of survivors ---------------------------
+    out = _rescore_pairs(
+        slabs, scales, pens, size, bi, bj, threshold, chunk_pairs, cap, _prog
+    )
+    _prog(1.0)
+    return out
+
+
+def _prep_sketch(pens, size, sketch: SketchState, rows_per_call: int):
+    """Shared phase-0 of both scans: augment+zero every slab's sketches
+    (_prep_slab), concat, pad to a rows_per_call multiple. Returns
+    (s_all [n_pad, d_s+1] bf16, n_pad, pair slack, nb_real,
+    adjusted rows_per_call)."""
+    assert rows_per_call % ROWS_TILE == 0 and rows_per_call % COLS_TILE == 0
+    # small corpora: shrink the call so padding (and the interpret-mode
+    # grid, on CPU) stays proportional to the data
+    total_cap = sum(s.shape[0] for s in sketch.sketches)
+    rows_per_call = min(
+        rows_per_call, -(-total_cap // COLS_TILE) * COLS_TILE
+    )
+    parts_s, deltas = [], []
+    start = 0
+    for i, slab_sketch in enumerate(sketch.sketches):
+        pen = None if pens is None else pens[i]
+        a16, d = _prep_slab(
+            slab_sketch, sketch.resid[i], pen,
+            jnp.asarray(start, jnp.int32), jnp.asarray(size, jnp.int32),
+        )
+        parts_s.append(a16)
+        deltas.append(d)
+        start += slab_sketch.shape[0]
+    # stored-bf16 sketches: _prep_slab's delta only sees the f32 view of
+    # the stored values; the original quantization error is bounded by the
+    # state's recorded ub_slack (>= max storage delta by construction)
+    max_delta = float(max(float(jnp.max(jnp.stack(deltas))), 0.0))
+    if sketch.sketches[0].dtype == jnp.bfloat16 and sketch.ub_slack is not None:
+        max_delta += float(sketch.ub_slack)
+    slack = _pair_slack(max_delta)
+    n_pad = -(-start // rows_per_call) * rows_per_call
+    s_all = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
+    del parts_s  # the concat supersedes the per-slab copies (HBM headroom)
+    if n_pad != start:
+        s_all = jnp.pad(s_all, ((0, n_pad - start), (0, 0)))
+    nb_real = -(-size // BLOCK)
+    return s_all, n_pad, slack, nb_real, rows_per_call
+
+
+def sketch_candidate_pairs(
+    slabs: Sequence[jax.Array],
+    scales: Optional[Sequence[jax.Array]],
+    pens: Optional[Sequence[jax.Array]],
+    size: int,
+    sketch: SketchState,
+    threshold: float,
+    *,
+    progress: Optional[Callable[[int, int], None]] = None,
+    # 65536 rows/call caps the values transient at [512, N/128] f32 —
+    # 160 MB at 10M — vs the mask kernel's packed words; more calls only
+    # re-read the 130 B/row sketch array (~0.3 s of HBM traffic at 10M)
+    rows_per_call: int = 65_536,
+    chunk_pairs: int = 256,
+    cap: int = 32768,
+    cands_per_block: int = 8,
+    interpret: Optional[bool] = None,
+) -> List[Tuple[int, int, float]]:
+    """NON-certified sketch-candidate duplicate scan (round-4 verdict #3).
+
+    The middle path for spectrally flat corpora where
+    :func:`sketch_duplicate_pairs` bails out: residual products swamp the
+    Cauchy-Schwarz bound so nothing PROVABLY prunes, but a true
+    near-duplicate pair still tops its block-row's sketch-UB dots. Phase 1
+    keeps, for every 128-row block, its top-``cands_per_block`` column
+    blocks by blockwise-max augmented-sketch dot (ops/blockmax.py
+    ``blockpair_values``) plus its diagonal block; phase 2 exact-rescores
+    exactly like the certified scan (every EMITTED pair carries a true
+    HIGHEST-precision f32 score >= threshold — false positives are
+    impossible; only recall is heuristic). Cost is O(N^2) sketch MXU dots
+    + O(nb * c) rescores — no bailout, bounded by construction.
+
+    Callers MUST surface the approximate label (engine sets
+    ``last_duplicate_mode='approximate'``; /duplicates serves it)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    cap = max(cap, BLOCK * BLOCK)
+    s_all, n_pad, slack, nb_real, rows_per_call = _prep_sketch(
+        pens, size, sketch, rows_per_call
+    )
+    # pairs whose UB falls below the compare point are still PROVABLY
+    # clean — the candidate filter composes with the certified bound, it
+    # just additionally drops low-ranked uncertifiable pairs
+    floor = max(threshold - slack, 0.0)
+    c = int(min(cands_per_block, n_pad // BLOCK))
+
+    def _prog(frac: float) -> None:
+        if progress is not None:
+            progress(int(frac * 1000), 1000)
+
+    # ---- phase 1: blockmax values sweep + per-block-row top-c ----------
+    n_calls = n_pad // rows_per_call
+    pend: List[Tuple[int, Tuple[jax.Array, jax.Array]]] = []
+    host_bi: List[np.ndarray] = []
+    host_bj: List[np.ndarray] = []
+
+    def _drain(entry):
+        r0, (vals, cols) = entry
+        vals = np.asarray(vals)            # [rb, c] f32
+        cols = np.asarray(cols)            # [rb, c] int32
+        rb = vals.shape[0]
+        bi = np.repeat(np.arange(rb, dtype=np.int64) + r0 // BLOCK, c)
+        bj = cols.reshape(-1).astype(np.int64)
+        keep = (
+            (vals.reshape(-1) > floor)
+            & (bi < nb_real)
+            & (bj < nb_real)
+            & (bj >= bi)  # values kernel already -infs the lower triangle
+        )
+        host_bi.append(bi[keep])
+        host_bj.append(bj[keep])
+
+    for ci, r0 in enumerate(range(0, n_pad, rows_per_call)):
+        vals = blockpair_values(
+            jax.lax.slice(s_all, (r0, 0), (r0 + rows_per_call, s_all.shape[1])),
+            s_all,
+            jnp.asarray(r0 // BLOCK, jnp.int32),
+            interpret=interpret,
+        )
+        fut = jax.lax.top_k(vals, c)
+        pend.append((r0, fut))
+        if len(pend) >= 2:
+            _drain(pend.pop(0))
+        _prog(0.45 * (ci + 1) / n_calls)
+    while pend:
+        _drain(pend.pop(0))
+    _prog(0.5)
+
+    del s_all
+    # diagonal blocks always rescore (self-UB ~1 tops every row anyway,
+    # but adjacent-row duplicates must never hinge on the ranking)
+    diag = np.arange(nb_real, dtype=np.int64)
+    bi = np.concatenate(host_bi + [diag])
+    bj = np.concatenate(host_bj + [diag])
+    pairs = np.unique(np.stack([bi, bj], axis=1), axis=0)
+    bi, bj = pairs[:, 0], pairs[:, 1]
+
+    # ---- phase 2: exact rescore — identical to the certified scan ------
+    out = _rescore_pairs(
+        slabs, scales, pens, size, bi, bj, threshold, chunk_pairs, cap, _prog
+    )
+    _prog(1.0)
+    return out
+
+
+def _rescore_pairs(
+    slabs, scales, pens, size, bi, bj, threshold, chunk_pairs, cap, prog
+) -> List[Tuple[int, int, float]]:
+    """Exact-rescore the (bi, bj) block pairs, emitting every row pair with
+    true f32 dot >= threshold, i < j. Shared phase-2 of both the certified
+    and the candidate (approximate) scans; ``prog`` is called with fractions
+    in [0.5, 1.0]."""
     size_dev = jnp.asarray(size, jnp.int32)
     out: List[Tuple[int, int, float]] = []
 
@@ -307,6 +440,5 @@ def sketch_duplicate_pairs(
     n_chunks = -(-len(bi) // chunk_pairs)
     for k, lo in enumerate(range(0, len(bi), chunk_pairs)):
         _run(bi[lo : lo + chunk_pairs], bj[lo : lo + chunk_pairs])
-        _prog(0.5 + 0.5 * (k + 1) / n_chunks)
-    _prog(1.0)
+        prog(0.5 + 0.5 * (k + 1) / n_chunks)
     return out

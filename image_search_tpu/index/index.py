@@ -907,6 +907,14 @@ class VectorIndex:
     def sketch_fresh(self) -> bool:
         return self._sketch is not None and self._sketch.built_rows == self._size
 
+    def drop_sketch(self) -> None:
+        """Unpublish the sketch. Used by the engine after building an
+        UNGATED sketch solely for the approximate duplicate scan on a
+        flat corpus — serving it to queries would re-introduce the failed
+        bound passes the certifiability gate exists to avoid."""
+        with self._lock:
+            self._sketch = None
+
     def _twostage_snapshot(self, k, candidates, selected_paths_list=None):
         """One lock acquisition for everything the two-stage path needs:
         ``(sk, k, c, slabs, norms, scales, pens, size, rows_list)``, with
@@ -1397,6 +1405,35 @@ class VectorIndex:
             slabs, _, scales, pens = self._snapshot()
             size = self._size
         return dupscan.sketch_duplicate_pairs(
+            slabs, scales, pens, size, sk, threshold,
+            progress=progress, **kw,
+        )
+
+    def find_near_duplicates_candidates(
+        self,
+        threshold: float = 0.95,
+        progress: Optional[callable] = None,
+        **kw,
+    ):
+        """NON-certified sketch-candidate pair scan
+        (dupscan.sketch_candidate_pairs): the flat-corpus middle path when
+        :meth:`find_near_duplicates_sketch` bails out. Emitted pairs carry
+        true f32 scores >= threshold (no false positives); recall is
+        heuristic (top-c sketch candidates per block). Same preconditions
+        as the certified scan: fresh sketch, single-device index."""
+        from image_search_tpu.index import dupscan
+
+        with self._lock:
+            if self.mesh is not None:
+                raise dupscan.DupScanBailout("sharded index: legacy scan only")
+            sk = self._sketch
+            if sk is None or sk.built_rows != self._size:
+                raise dupscan.DupScanBailout("no fresh sketch")
+            if self._size == 0:
+                return []
+            slabs, _, scales, pens = self._snapshot()
+            size = self._size
+        return dupscan.sketch_candidate_pairs(
             slabs, scales, pens, size, sk, threshold,
             progress=progress, **kw,
         )

@@ -111,6 +111,85 @@ def _kernel(thr_ref, rb0_ref, s_rows_ref, s_cols_ref, out_ref):
         out_ref[:] = jnp.where(lane == j, words, out_ref[:])
 
 
+def _values_kernel(rb0_ref, s_rows_ref, s_cols_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row_b0 = rb0_ref[0, 0] + i * _RB
+    col_b0 = j * _CB
+
+    @pl.when(col_b0 + _CB > row_b0)   # tile touches the upper triangle
+    def _compute():
+        d = jax.lax.dot_general(
+            s_rows_ref[:], s_cols_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m1 = jnp.concatenate(
+            [
+                jnp.max(d[r * BLOCK : (r + 1) * BLOCK, :], axis=0, keepdims=True)
+                for r in range(_RB)
+            ],
+            axis=0,
+        )
+        m = jnp.concatenate(
+            [
+                jnp.max(m1[:, c * BLOCK : (c + 1) * BLOCK], axis=1, keepdims=True)
+                for c in range(_CB)
+            ],
+            axis=1,
+        )  # [_RB, _CB]
+        rowb = row_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 0)
+        colb = col_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 1)
+        out_ref[:] = jnp.where(colb >= rowb, m, jnp.float32(-jnp.inf))
+
+    @pl.when(col_b0 + _CB <= row_b0)  # fully below the diagonal: no compute
+    def _skip():
+        out_ref[:] = jnp.full_like(out_ref, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blockpair_values(
+    s_rows: jax.Array,        # [R, d_a] bf16 row-tile sketches
+    s_cols: jax.Array,        # [N, d_a] bf16 full-corpus sketches
+    row_block0,               # int32 scalar: global block index of s_rows[0]
+    interpret: bool = False,
+) -> jax.Array:
+    """Upper-triangle blockwise-max sketch-dot VALUES, [R//BLOCK, N//BLOCK]
+    f32 (lower triangle = -inf).
+
+    The NON-certified sibling of :func:`blockpair_mask`: instead of
+    thresholding against a provable per-pair upper bound, it hands the raw
+    blockmax products to the caller, which keeps only each block-row's
+    top-c column blocks as rescore candidates (index/dupscan.py
+    ``sketch_candidate_pairs``). Used when the certified scan bails out on
+    spectrally flat corpora — there the residual term swamps the bound but
+    a true near-duplicate pair still tops its block-row's sketch dots.
+    Same tiling and VMEM discipline as the mask kernel; HBM output is
+    O(N^2 / 128^2) f32 values per sweep instead of packed words."""
+    r, da = s_rows.shape
+    n = s_cols.shape[0]
+    assert r % ROWS_TILE == 0 and n % COLS_TILE == 0, (r, n)
+    assert s_rows.dtype == jnp.bfloat16 and s_cols.dtype == jnp.bfloat16
+    grid = (r // ROWS_TILE, n // COLS_TILE)
+    rb0 = jnp.full((1, 1), row_block0, jnp.int32)
+    return pl.pallas_call(
+        _values_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                        # rb0
+            pl.BlockSpec((ROWS_TILE, da), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((COLS_TILE, da), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_RB, _CB), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r // BLOCK, n // BLOCK), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(rb0, s_rows, s_cols)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def blockpair_mask(
     s_rows: jax.Array,        # [R, d_a] bf16 row-tile AUGMENTED sketches

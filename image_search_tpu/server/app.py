@@ -278,7 +278,15 @@ def build_app(
                     {"job": job_id, "state": "failed"}, status=500
                 )
             return web.json_response(
-                {"job": job_id, "state": "done", "groups": task.result()}
+                {
+                    "job": job_id,
+                    "state": "done",
+                    "groups": task.result(),
+                    # 'certified' = provably complete pair set;
+                    # 'approximate'/'legacy_approx' may miss pairs (round-4
+                    # verdict #3 — flat-corpus middle path)
+                    "mode": engine.last_duplicate_mode,
+                }
             )
         try:
             threshold = float(request.query.get("threshold", "0.95"))
@@ -348,7 +356,9 @@ def build_app(
             )
         async with dup_lock:
             groups = await asyncio.to_thread(engine.find_duplicate_groups, threshold)
-        return web.json_response({"groups": groups})
+        return web.json_response(
+            {"groups": groups, "mode": engine.last_duplicate_mode}
+        )
 
     async def scan(request: web.Request) -> web.Response:
         # single-flight like the reference's awaited spawn (search.rs:108-118);

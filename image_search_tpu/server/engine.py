@@ -42,6 +42,11 @@ class SearchEngine:
         # to_abs_path normpaths reconstructed ones — a relative/'./'-style
         # media dir would otherwise make feedback selections never match
         self.media_dir = os.path.normpath(os.path.abspath(args.expanded_media_dir()))
+        # route of the most recent duplicate scan ('certified',
+        # 'approximate', 'legacy_exact', 'legacy_approx'); /duplicates
+        # surfaces it so approximate results are never mistaken for
+        # certified-complete ones
+        self.last_duplicate_mode: Optional[str] = None
 
         maybe_init_distributed()
         n_dev = len(jax.devices())
@@ -681,7 +686,15 @@ class SearchEngine:
 
         _progress(0, 1)
         with global_metrics.timer("duplicate_scan"):
-            pairs = self._duplicate_pairs(threshold, approx, _progress)
+            pairs, mode = self._duplicate_pairs(threshold, approx, _progress)
+        # surfaced by /duplicates responses: 'certified' pair sets are
+        # provably complete; 'approximate'/'legacy_approx' may miss pairs
+        # (never emit false ones — every mode rescores in exact f32)
+        self.last_duplicate_mode = mode
+        global_metrics.gauge(
+            "duplicate_scan_certified",
+            1.0 if mode in ("certified", "legacy_exact") else 0.0,
+        )
         _progress(1, 1)
         parent: dict = {}
 
@@ -707,7 +720,11 @@ class SearchEngine:
         return out
 
     def _duplicate_pairs(self, threshold: float, approx: bool, progress):
-        """Sketch-pruned complete scan when it can serve, legacy otherwise."""
+        """Sketch-pruned complete scan when it can serve; on bailout at
+        scales where the legacy scan is hours, the NON-certified
+        sketch-candidate scan (round-4 verdict #3); legacy otherwise.
+        Returns (pairs, mode) with mode in {'certified', 'approximate',
+        'legacy_exact', 'legacy_approx'}."""
         from image_search_tpu.index.dupscan import DupScanBailout
 
         try_sketch = self.index.mesh is None and (
@@ -730,13 +747,38 @@ class SearchEngine:
                     threshold=threshold, progress=progress
                 )
                 global_metrics.gauge("duplicate_scan_sketch", 1.0)
-                return pairs
+                return pairs, "certified"
             except DupScanBailout as e:
-                log.info("sketch duplicate scan bailed out (%s); legacy scan", e)
+                log.info("sketch duplicate scan bailed out (%s)", e)
+            # middle path: flat corpus at a scale where the legacy scan
+            # degenerates to hours — top-c sketch candidates per block,
+            # exact rescore, explicitly surfaced as approximate
+            if len(self.index) > self.DUPLICATES_APPROX_ABOVE:
+                built_ungated = False
+                try:
+                    if not self.index.sketch_fresh:
+                        self.index.build_sketch(
+                            dtype=getattr(self.args, "sketch_dtype", "float32"),
+                            min_certifiable=0.0,
+                        )
+                        built_ungated = True
+                    pairs = self.index.find_near_duplicates_candidates(
+                        threshold=threshold, progress=progress
+                    )
+                    global_metrics.gauge("duplicate_scan_sketch", 1.0)
+                    return pairs, "approximate"
+                except DupScanBailout as e:
+                    log.info("candidate duplicate scan bailed out (%s); legacy", e)
+                finally:
+                    if built_ungated:
+                        # the gate refused this sketch for SEARCH; don't
+                        # leave it published now that the scan is done
+                        self.index.drop_sketch()
         global_metrics.gauge("duplicate_scan_sketch", 0.0)
-        return self.index.find_near_duplicates(
+        pairs = self.index.find_near_duplicates(
             threshold=threshold, approx=approx, progress=progress
         )
+        return pairs, ("legacy_approx" if approx else "legacy_exact")
 
     def remove_images(self, media_paths) -> int:
         """Explicit durable deletion (POST /remove): tombstone + EXCLUDE, so

@@ -248,3 +248,121 @@ def test_engine_routes_to_sketch_and_falls_back(rng, monkeypatch):
     # same planted duplicates, both routes (legacy may only truncate
     # GROUP-INTERNAL pairs, never drop a whole small group)
     assert {tuple(sorted(g)) for g in groups2} == {tuple(sorted(g)) for g in groups}
+
+
+# ---- approximate candidate scan (flat-corpus middle path, round-4 #3) ----
+
+
+def plant_cross_block_dups(rng, emb, pairs, noise=0.01):
+    """Make emb[j] a near-duplicate of emb[i] for each (i, j)."""
+    emb = emb.copy()
+    for i, j in pairs:
+        v = emb[i] + noise * rng.normal(size=DIM).astype(np.float32)
+        emb[j] = (v / np.linalg.norm(v)).astype(np.float32)
+    return emb
+
+
+def test_candidate_scan_flat_corpus(rng):
+    """Flat corpus at a threshold where the certified scan bails out: the
+    candidate scan recovers every planted pair — same-block (diagonal
+    path) AND cross-block (top-c ranking path) — with exact scores and
+    zero false positives."""
+    n, thr = 8_192, 0.5
+    cross = [(100, 4_500), (200, 7_300), (1_000, 2_222)]
+    emb = plant_cross_block_dups(
+        rng, plant_dups(rng, flat(rng, n), 20), cross
+    )
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+    with pytest.raises(DupScanBailout):  # the certified scan cannot serve
+        idx.find_near_duplicates_sketch(threshold=thr)
+    pairs = idx.find_near_duplicates_candidates(threshold=thr)
+    stored = dequantized(idx)
+    got = {(i, j) for i, j, _ in pairs}
+    planted = {(2 * p, 2 * p + 1) for p in range(20)} | set(cross)
+    assert planted <= got, sorted(planted - got)
+    # soundness is unconditional: every emitted pair >= thr - band, scores
+    # match the true dot (the rescore is the certified scan's phase 2)
+    oracle = oracle_pairs(stored, thr - BAND)
+    got_d = {(i, j): s for i, j, s in pairs}
+    assert set(got_d) <= set(oracle), sorted(set(got_d) - set(oracle))[:5]
+    for k, s in got_d.items():
+        assert abs(s - oracle[k]) < 2e-4, (k, s, oracle[k])
+
+
+def test_candidate_scan_tombstones_and_progress(rng):
+    n = 4_096
+    emb = plant_dups(rng, flat(rng, n), 10)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.remove_paths(["p0"])  # kills pair (0, 1)
+    idx.build_sketch()
+    seen = []
+    pairs = idx.find_near_duplicates_candidates(
+        threshold=0.5, progress=lambda a, b: seen.append(a / b)
+    )
+    rows = {i for p in pairs for i in p[:2]}
+    assert 0 not in rows
+    assert {(2 * p, 2 * p + 1) for p in range(1, 10)} <= {
+        (i, j) for i, j, _ in pairs
+    }
+    assert seen and seen[-1] == 1.0 and seen == sorted(seen)
+
+
+def test_engine_candidate_middle_path(rng, monkeypatch):
+    """Certified scan bails at scale -> the engine runs the candidate scan
+    (mode='approximate'), NOT the hours-class legacy scan."""
+    from image_search_tpu.server.engine import SearchEngine
+
+    n = 2_048
+    emb = plant_dups(rng, concentrated(rng, n), 8)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+    idx.build_sketch()
+
+    eng = SearchEngine.__new__(SearchEngine)  # routing only: no model needed
+    eng.index = idx
+    eng.args = type("A", (), {})()
+    eng.media_dir = "."
+    groups_cert = eng.find_duplicate_groups(threshold=0.95)
+    assert eng.last_duplicate_mode == "certified"
+
+    monkeypatch.setattr(
+        VectorIndex, "find_near_duplicates_sketch",
+        lambda self, **kw: (_ for _ in ()).throw(DupScanBailout("forced")),
+    )
+    # below the scale cut the engine still prefers the legacy EXACT scan
+    groups_legacy = eng.find_duplicate_groups(threshold=0.95)
+    assert eng.last_duplicate_mode == "legacy_exact"
+    monkeypatch.setattr(SearchEngine, "DUPLICATES_APPROX_ABOVE", 1_000)
+    groups_approx = eng.find_duplicate_groups(threshold=0.95)
+    assert eng.last_duplicate_mode == "approximate"
+    assert idx.sketch_fresh  # reused the published sketch: must NOT drop it
+    same = {tuple(sorted(g)) for g in groups_cert}
+    assert {tuple(sorted(g)) for g in groups_approx} == same
+    assert {tuple(sorted(g)) for g in groups_legacy} == same
+
+
+def test_engine_drops_ungated_sketch_after_candidate_scan(rng, monkeypatch):
+    """A sketch the certifiability gate refused for SEARCH, built solely
+    for the approximate scan, must be unpublished afterwards."""
+    from image_search_tpu.server.engine import SearchEngine
+
+    n = 4_096
+    emb = plant_dups(rng, flat(rng, n), 10)
+    idx = VectorIndex(DIM)
+    idx.add([f"p{i}" for i in range(n)], emb)
+
+    eng = SearchEngine.__new__(SearchEngine)
+    eng.index = idx
+    # gate no sketch can pass -> the certified route never publishes one
+    eng.args = type("A", (), {"twostage_min_certifiable": 1.01})()
+    eng.media_dir = "."
+    monkeypatch.setattr(SearchEngine, "DUPLICATES_SKETCH_ABOVE", 1_000)
+    monkeypatch.setattr(SearchEngine, "DUPLICATES_APPROX_ABOVE", 1_000)
+    groups = eng.find_duplicate_groups(threshold=0.5)
+    assert eng.last_duplicate_mode == "approximate"
+    assert not idx.sketch_fresh  # the ungated sketch was dropped
+    assert {tuple(sorted((f"media/p{2*p}", f"media/p{2*p+1}")))
+            for p in range(1, 10)} <= {tuple(sorted(g)) for g in groups}

@@ -405,7 +405,10 @@ def test_duplicates_endpoint(tmp_path):
         try:
             r = await c.get("/duplicates", params={"threshold": "0.999"})
             assert r.status == 200
-            assert (await r.json())["groups"] == [["media/copy.png", "media/orig.png"]]
+            body = await r.json()
+            assert body["groups"] == [["media/copy.png", "media/orig.png"]]
+            # small corpus, no sketch: the legacy exact route, labeled
+            assert body["mode"] == "legacy_exact"
             assert (await c.get("/duplicates", params={"threshold": "2"})).status == 400
             assert (await c.get("/duplicates", params={"threshold": "x"})).status == 400
         finally:
@@ -717,6 +720,7 @@ def test_duplicates_async_job_flow(tmp_path):
             final = await r3.json()
             assert final["state"] == "done"
             assert final["groups"] == [["media/copy.png", "media/orig.png"]]
+            assert final["mode"] == "legacy_exact"
 
             # job finished: a NEW async request starts a fresh job, and the
             # progress gauge is RESET at creation (a fresh job must not
