@@ -223,6 +223,35 @@ def main():
     counters["fused_single_fallbacks"] = int(index.twostage_fallbacks)
     save()
 
+    # ---- dispatch-only probes (round-4 verdict #2: decompose the ~5 ms
+    # residual the closure cross-check left unexplained) ------------------
+    # (a) enqueue cost of the compiled fused program on READY device
+    # inputs, never fetching: pure host-side trace-cache lookup + argument
+    # staging + async dispatch. This is the per-request jax overhead that
+    # sits in http_e2e but in NEITHER device_fused (amortized out) nor
+    # tunnel_rtt.
+    float(np.asarray(fused(*fargs)[0]).ravel()[0])  # drain the queue
+    t = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = fused(*fargs)
+        t.append(time.perf_counter() - t0)
+    stages["dispatch_enqueue"] = p50(t) * 1e3
+    float(np.asarray(out[0]).ravel()[0])  # drain before the next stage
+    # (b) host->device enqueue of a fresh (1,77) int32 token batch — the
+    # per-request input transfer. Async on this backend (timed cost is the
+    # host-side staging; the bytes ride the same tunnel as the dispatch
+    # stream without blocking it).
+    ids_np = [np.asarray(tokenizer([qs[i % len(qs)]])) for i in range(30)]
+    t = []
+    for a in ids_np:
+        t0 = time.perf_counter()
+        dev = jax.device_put(a)
+        t.append(time.perf_counter() - t0)
+    dev.block_until_ready()
+    stages["h2d_ids_enqueue"] = p50(t) * 1e3
+    save()
+
     # ---- host formatting stages ----------------------------------------
     out_rows = engine._format_results(s_np[:1][0], i_np[:1][0])
     t = []
@@ -257,30 +286,114 @@ def main():
 
     # ---- loopback HTTP through the real app ------------------------------
     import asyncio
+    import io
 
+    from aiohttp import web as aioweb
     from aiohttp.test_utils import TestClient, TestServer
 
     from image_search_tpu.server.app import build_app
 
+    def pctl(xs, q):
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(q * len(xs)))]
+
+    # Rocchio-feedback marks: real corpus rows. synth_corpus leaves the 10M
+    # path->row dict unbuilt (2 GB host RAM); register just the marked rows.
+    mark_rows = [123_456 % n, (2 * n) // 3, n - 7]
+    for r in mark_rows:
+        index._row[index._paths[r]] = r
+    marks = [engine.to_media_path(index._paths[r]) for r in mark_rows]
+
+    # query-by-image payload: an in-memory JPEG through the real decoder
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8)).save(
+        buf, format="JPEG", quality=90
+    )
+    jpeg_bytes = buf.getvalue()
+
+    n_http = max(n_q, 10 if SMOKE else 100)
+    http = {}
+
     async def drive():
-        c = TestClient(TestServer(build_app(engine)))
+        app = build_app(engine)
+        # framing probe: a canned response body of the SAME size as a
+        # k=1000 search answer, no engine behind it — isolates aiohttp
+        # parse/route/respond + event-loop hops from everything device
+        canned = engine.render_images_json(out_rows)
+
+        async def echo(request: aioweb.Request) -> aioweb.Response:
+            await request.read()
+            return aioweb.Response(body=canned, content_type="application/json")
+
+        app.router.add_post("/bench_echo", echo)
+        c = TestClient(TestServer(app))
         await c.start_server()
-        lat = []
-        try:
-            r = await c.post("/search", json={"q": "http warm"})
-            await r.read()
-            for i in range(n_q):
+
+        async def series(name, make_req, count, warm=1):
+            for _ in range(warm):
+                r = await make_req(0)
+                await r.read()
+            lat = []
+            for i in range(count):
                 t0 = time.perf_counter()
-                r = await c.post("/search", json={"q": f"http probe {i}"})
+                r = await make_req(i + 1)
                 body = await r.read()
                 lat.append(time.perf_counter() - t0)
-                assert r.status == 200 and len(body) > 1000
+                assert r.status == 200 and len(body) > 1000, (name, r.status)
+            http[name] = {
+                "p50_ms": round(pctl(lat, 0.50) * 1e3, 3),
+                "p95_ms": round(pctl(lat, 0.95) * 1e3, 3),
+                "p99_ms": round(pctl(lat, 0.99) * 1e3, 3),
+                "n": count,
+            }
+            log(f"[http] {name}: {http[name]}")
+
+        try:
+            await series(
+                "echo_framing",
+                lambda i: c.post("/bench_echo", json={"q": f"echo {i}"}),
+                n_http,
+            )
+            await series(
+                "search_plain",
+                lambda i: c.post("/search", json={"q": f"http probe {i}"}),
+                n_http,
+            )
+            # feedback rides the same fused program; its selection gather
+            # is the only extra work (round-4 verdict #2 asked for these)
+            await series(
+                "search_feedback_1",
+                lambda i: c.post(
+                    "/search",
+                    json={"q": f"fb1 probe {i}", "referenced_images": marks[:1]},
+                ),
+                n_http,
+            )
+            await series(
+                "search_feedback_3",
+                lambda i: c.post(
+                    "/search",
+                    json={"q": f"fb3 probe {i}", "referenced_images": marks},
+                ),
+                n_http,
+            )
+            # query-by-image: decode + vision tower (B=1) + fused search.
+            # One warm call compiles the vision bucket outside the window.
+            await series(
+                "search_image",
+                lambda i: c.post("/search_image", data=jpeg_bytes),
+                max(10, n_http // 3),
+                warm=2,
+            )
         finally:
             await c.close()
-        return lat
 
-    lat = asyncio.new_event_loop().run_until_complete(drive())
-    stages["http_e2e"] = p50(lat) * 1e3
+    asyncio.new_event_loop().run_until_complete(drive())
+    results["http_ms"] = http
+    stages["http_e2e"] = http["search_plain"]["p50_ms"]
 
     # ---- accounting -------------------------------------------------------
     host_total = (
@@ -293,11 +406,37 @@ def main():
     closure = (
         stages["device_fused"] + host_total + stages["tunnel_rtt"]
     )
+    # round-4 verdict #2: the closure gap is now measured, not attributed —
+    # aiohttp framing (echo probe, minus its own negligible handler),
+    # per-request jax dispatch, and the input-transfer enqueue
+    framing = results["http_ms"]["echo_framing"]["p50_ms"]
+    closure_full = (
+        closure + framing + stages["dispatch_enqueue"] + stages["h2d_ids_enqueue"]
+    )
     results["derived_ms"] = {
         "host_total": round(host_total, 3),
         "wire_p50_tunnel_subtracted": round(wire, 3),
+        "wire_p95_tunnel_subtracted": round(
+            results["http_ms"]["search_plain"]["p95_ms"] - stages["tunnel_rtt"], 3
+        ),
+        "wire_p99_tunnel_subtracted": round(
+            results["http_ms"]["search_plain"]["p99_ms"] - stages["tunnel_rtt"], 3
+        ),
+        "wire_feedback1_p50_tunnel_subtracted": round(
+            results["http_ms"]["search_feedback_1"]["p50_ms"] - stages["tunnel_rtt"], 3
+        ),
+        "wire_feedback3_p50_tunnel_subtracted": round(
+            results["http_ms"]["search_feedback_3"]["p50_ms"] - stages["tunnel_rtt"], 3
+        ),
+        "wire_image_p50_tunnel_subtracted": round(
+            results["http_ms"]["search_image"]["p50_ms"] - stages["tunnel_rtt"], 3
+        ),
         "closure_device_plus_host_plus_rtt": round(closure, 3),
         "closure_vs_http_e2e_gap": round(stages["http_e2e"] - closure, 3),
+        "closure_full": round(closure_full, 3),
+        "closure_full_vs_http_e2e_gap": round(
+            stages["http_e2e"] - closure_full, 3
+        ),
     }
     results["counters"] = counters
     results["stages_ms"] = {k: round(v, 3) for k, v in stages.items()}

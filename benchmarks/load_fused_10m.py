@@ -130,6 +130,94 @@ def main():
         "ladder": [],
     }
 
+    async def scan_concurrent_rung(c, clients: int):
+        """Search tails while a REAL /scan ingests on the same chip.
+
+        The reference serializes every search behind its embedder/DB
+        mutexes and /scan blocks the server until the full directory is
+        embedded (main.rs:33-34, search.rs:26,108-118) — a search issued
+        mid-scan waits for the WHOLE scan. Here the scan's decode pool,
+        vision forwards, index appends, and incremental sketch updates
+        share the device with live queries; this rung measures what that
+        contention does to search tails. Anything p99 << scan_seconds
+        beats the reference qualitatively.
+        """
+        import shutil
+
+        from synth_corpus import QUERIES
+
+        rng = np.random.default_rng(11)
+        base = "/tmp/isx_load_scan"
+        dirs = {"warm": 16 if SMOKE else 500, "main": 48 if SMOKE else 8000}
+        for name, count in dirs.items():
+            d = os.path.join(base, name)
+            if os.path.isdir(d) and len(os.listdir(d)) == count:
+                continue  # reuse across runs (generation is untimed anyway)
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d)
+            from PIL import Image
+
+            for i in range(count):
+                Image.fromarray(
+                    rng.integers(0, 255, (224, 224, 3), np.uint8)
+                ).save(os.path.join(d, f"scan_{name}_{i:06d}.jpg"), quality=85)
+        log(f"[scan-rung] media dirs ready {dirs}")
+
+        eng = app[_engine_key()]
+        # warm scan: compiles the embed bucket shapes + the post-scan
+        # sketch rebuild OUTSIDE the timed window (chunks are full-sized in
+        # both dirs, so the main scan replays only cached programs)
+        eng.media_dir = eng.args.media_dir = os.path.join(base, "warm")
+        r = await c.get("/scan")
+        warm_stats = json.loads(await r.read())
+        log(f"[scan-rung] warm scan {warm_stats}")
+
+        eng.media_dir = eng.args.media_dir = os.path.join(base, "main")
+        lat = []
+        issued = 0
+        cap = 60 if SMOKE else 4000
+        t0 = time.perf_counter()
+        scan_task = asyncio.ensure_future(c.get("/scan"))
+        await asyncio.sleep(0.05)  # let the scan enter the handler
+
+        async def worker(wid):
+            nonlocal issued
+            while not scan_task.done() and issued < cap:
+                i = issued
+                issued += 1
+                q = f"scanload {wid} {i} {QUERIES[i % len(QUERIES)]}"
+                tq = time.perf_counter()
+                r = await c.post("/search", json={"q": q})
+                body = await r.read()
+                assert r.status == 200 and len(body) > 500, (r.status, len(body))
+                lat.append(time.perf_counter() - tq)
+
+        await asyncio.gather(*[worker(w) for w in range(clients)])
+        searched_window = time.perf_counter() - t0
+        scan_resp = await scan_task
+        scan_stats = json.loads(await scan_resp.read())
+        scan_wall = time.perf_counter() - t0
+        wall = searched_window  # queries only ran inside this window
+        return {
+            "clients": clients,
+            "requests": len(lat),
+            "qps_during_scan": round(len(lat) / wall, 1),
+            "p50_ms": round(pct(lat, 0.50) * 1e3, 1),
+            "p95_ms": round(pct(lat, 0.95) * 1e3, 1),
+            "p99_ms": round(pct(lat, 0.99) * 1e3, 1),
+            "max_ms": round(max(lat) * 1e3, 1),
+            "scan": scan_stats,
+            "scan_warm": warm_stats,
+            "scan_wall_s": round(scan_wall, 2),
+            "search_window_s": round(searched_window, 2),
+            "overlap_frac": round(min(searched_window, scan_wall) / scan_wall, 3),
+        }
+
+    def _engine_key():
+        from image_search_tpu.server.app import ENGINE_KEY
+
+        return ENGINE_KEY
+
     async def drive():
         c = TestClient(TestServer(app))
         await c.start_server()
@@ -149,6 +237,11 @@ def main():
                 log(f"[ladder] {row}")
                 with open(OUT, "w") as f:
                     json.dump(results, f, indent=1)
+            # anti-thesis rung: tails under simultaneous ingest
+            results["scan_concurrent"] = await scan_concurrent_rung(c, 32)
+            log(f"[scan-rung] {results['scan_concurrent']}")
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=1)
         finally:
             await c.close()
 

@@ -40,9 +40,10 @@ PROBE_BOUND_S = 360  # healthy first contact after idle measured up to ~5 min
 RETRY_SLEEP_S = 600
 
 QUEUE = [
-    ("vmem_sweep", ["benchmarks/vmem_sweep.py"], None, None),
-    ("train_b3", ["benchmarks/train_step_bench.py"], None,
-     {"ISX_TRAIN_BATTERY": "3"}),
+    # round-5 battery (round-4 verdict #1, #2, #3, #7)
+    ("latency_decomp", ["benchmarks/latency_decomp.py"], None, None),
+    ("load_fused_10m", ["benchmarks/load_fused_10m.py"], None, None),
+    ("dup_flat_10m", ["benchmarks/dup_flat_10m.py"], None, None),
 ]
 
 PROBE_SRC = r"""

@@ -51,6 +51,7 @@ from image_search_tpu.index.twostage import SLACK, SketchState
 from image_search_tpu.ops.blockmax import (
     BLOCK,
     COLS_TILE,
+    COLS_TILE_V,
     ROWS_TILE,
     blockpair_mask,
     blockpair_values,
@@ -256,17 +257,21 @@ def sketch_duplicate_pairs(
     return out
 
 
-def _prep_sketch(pens, size, sketch: SketchState, rows_per_call: int):
+def _prep_sketch(
+    pens, size, sketch: SketchState, rows_per_call: int,
+    granule: int = COLS_TILE,
+):
     """Shared phase-0 of both scans: augment+zero every slab's sketches
-    (_prep_slab), concat, pad to a rows_per_call multiple. Returns
-    (s_all [n_pad, d_s+1] bf16, n_pad, pair slack, nb_real,
-    adjusted rows_per_call)."""
-    assert rows_per_call % ROWS_TILE == 0 and rows_per_call % COLS_TILE == 0
+    (_prep_slab), concat, pad to a rows_per_call multiple. ``granule`` is
+    the kernel's col-tile size (COLS_TILE for the mask kernel,
+    COLS_TILE_V for the values kernel). Returns (s_all [n_pad, d_s+1]
+    bf16, n_pad, pair slack, nb_real, adjusted rows_per_call)."""
+    assert rows_per_call % ROWS_TILE == 0 and rows_per_call % granule == 0
     # small corpora: shrink the call so padding (and the interpret-mode
     # grid, on CPU) stays proportional to the data
     total_cap = sum(s.shape[0] for s in sketch.sketches)
     rows_per_call = min(
-        rows_per_call, -(-total_cap // COLS_TILE) * COLS_TILE
+        rows_per_call, -(-total_cap // granule) * granule
     )
     parts_s, deltas = [], []
     start = 0
@@ -333,7 +338,7 @@ def sketch_candidate_pairs(
         interpret = _interpret_default()
     cap = max(cap, BLOCK * BLOCK)
     s_all, n_pad, slack, nb_real, rows_per_call = _prep_sketch(
-        pens, size, sketch, rows_per_call
+        pens, size, sketch, rows_per_call, granule=COLS_TILE_V
     )
     # pairs whose UB falls below the compare point are still PROVABLY
     # clean — the candidate filter composes with the certified bound, it
@@ -367,6 +372,8 @@ def sketch_candidate_pairs(
         host_bi.append(bi[keep])
         host_bj.append(bj[keep])
 
+    from image_search_tpu.ops.topk import exact_topk
+
     for ci, r0 in enumerate(range(0, n_pad, rows_per_call)):
         vals = blockpair_values(
             jax.lax.slice(s_all, (r0, 0), (r0 + rows_per_call, s_all.shape[1])),
@@ -374,7 +381,9 @@ def sketch_candidate_pairs(
             jnp.asarray(r0 // BLOCK, jnp.int32),
             interpret=interpret,
         )
-        fut = jax.lax.top_k(vals, c)
+        # hierarchical exact top-k (ops/topk.py): full-sort lax.top_k over
+        # 82k lanes per block-row would dominate the sweep at 10M
+        fut = exact_topk(vals, c)
         pend.append((r0, fut))
         if len(pend) >= 2:
             _drain(pend.pop(0))

@@ -111,37 +111,55 @@ def _kernel(thr_ref, rb0_ref, s_rows_ref, s_cols_ref, out_ref):
         out_ref[:] = jnp.where(lane == j, words, out_ref[:])
 
 
+# values-kernel col tiling: one grid step covers 128 block-cols so its
+# output block is a NATIVE (8, 128) f32 tile — Mosaic rejects mid-array
+# blocks narrower than the (8, 128) tiling granule, which is why the mask
+# kernel packs words into a resident full-row block instead. The 16384
+# cols are swept as 4 sequential sub-dots of COLS_TILE=4096 rows so the
+# VMEM-resident product tile stays 1024 x 4096 x 4 B = 16 MB, same as
+# the mask kernel's.
+COLS_TILE_V = 4 * COLS_TILE     # 16384 rows = 128 block-cols per grid step
+_CBV = COLS_TILE_V // BLOCK     # 128
+
+
 def _values_kernel(rb0_ref, s_rows_ref, s_cols_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
     row_b0 = rb0_ref[0, 0] + i * _RB
-    col_b0 = j * _CB
+    col_b0 = j * _CBV
 
-    @pl.when(col_b0 + _CB > row_b0)   # tile touches the upper triangle
+    @pl.when(col_b0 + _CBV > row_b0)  # tile touches the upper triangle
     def _compute():
-        d = jax.lax.dot_general(
-            s_rows_ref[:], s_cols_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m1 = jnp.concatenate(
-            [
-                jnp.max(d[r * BLOCK : (r + 1) * BLOCK, :], axis=0, keepdims=True)
-                for r in range(_RB)
-            ],
-            axis=0,
-        )
-        m = jnp.concatenate(
-            [
-                jnp.max(m1[:, c * BLOCK : (c + 1) * BLOCK], axis=1, keepdims=True)
-                for c in range(_CB)
-            ],
-            axis=1,
-        )  # [_RB, _CB]
-        rowb = row_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 0)
-        colb = col_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CB), 1)
+        parts = []
+        for s in range(COLS_TILE_V // COLS_TILE):
+            d = jax.lax.dot_general(
+                s_rows_ref[:],
+                s_cols_ref[s * COLS_TILE : (s + 1) * COLS_TILE, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [ROWS_TILE, COLS_TILE], reduced before the next sub-dot
+            m1 = jnp.concatenate(
+                [
+                    jnp.max(d[r * BLOCK : (r + 1) * BLOCK, :], axis=0,
+                            keepdims=True)
+                    for r in range(_RB)
+                ],
+                axis=0,
+            )  # [_RB, COLS_TILE]
+            parts.append(jnp.concatenate(
+                [
+                    jnp.max(m1[:, c * BLOCK : (c + 1) * BLOCK], axis=1,
+                            keepdims=True)
+                    for c in range(_CB)
+                ],
+                axis=1,
+            ))  # [_RB, _CB]
+        m = jnp.concatenate(parts, axis=1)  # [_RB, _CBV]
+        rowb = row_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CBV), 0)
+        colb = col_b0 + jax.lax.broadcasted_iota(jnp.int32, (_RB, _CBV), 1)
         out_ref[:] = jnp.where(colb >= rowb, m, jnp.float32(-jnp.inf))
 
-    @pl.when(col_b0 + _CB <= row_b0)  # fully below the diagonal: no compute
+    @pl.when(col_b0 + _CBV <= row_b0)  # fully below the diagonal: no compute
     def _skip():
         out_ref[:] = jnp.full_like(out_ref, -jnp.inf)
 
@@ -163,13 +181,15 @@ def blockpair_values(
     ``sketch_candidate_pairs``). Used when the certified scan bails out on
     spectrally flat corpora — there the residual term swamps the bound but
     a true near-duplicate pair still tops its block-row's sketch dots.
-    Same tiling and VMEM discipline as the mask kernel; HBM output is
-    O(N^2 / 128^2) f32 values per sweep instead of packed words."""
+    Same row tiling and VMEM discipline as the mask kernel; HBM output is
+    O(N^2 / 128^2) f32 values per sweep instead of packed words (160 MB
+    per 65536-row call at 10M — why the candidate scan uses smaller calls
+    than the certified scan's ROWS_PER_CALL)."""
     r, da = s_rows.shape
     n = s_cols.shape[0]
-    assert r % ROWS_TILE == 0 and n % COLS_TILE == 0, (r, n)
+    assert r % ROWS_TILE == 0 and n % COLS_TILE_V == 0, (r, n)
     assert s_rows.dtype == jnp.bfloat16 and s_cols.dtype == jnp.bfloat16
-    grid = (r // ROWS_TILE, n // COLS_TILE)
+    grid = (r // ROWS_TILE, n // COLS_TILE_V)
     rb0 = jnp.full((1, 1), row_block0, jnp.int32)
     return pl.pallas_call(
         _values_kernel,
@@ -177,10 +197,10 @@ def blockpair_values(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                        # rb0
             pl.BlockSpec((ROWS_TILE, da), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((COLS_TILE, da), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((COLS_TILE_V, da), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_RB, _CB), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (_RB, _CBV), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r // BLOCK, n // BLOCK), jnp.float32),
         compiler_params=None if interpret else pltpu.CompilerParams(

@@ -366,3 +366,30 @@ def test_engine_drops_ungated_sketch_after_candidate_scan(rng, monkeypatch):
     assert not idx.sketch_fresh  # the ungated sketch was dropped
     assert {tuple(sorted((f"media/p{2*p}", f"media/p{2*p+1}")))
             for p in range(1, 10)} <= {tuple(sorted(g)) for g in groups}
+
+
+def test_blockpair_values_oracle(rng):
+    """Values kernel vs numpy: upper-triangle blockwise max of the
+    augmented-sketch dot matrix, lower triangle -inf, honoring a nonzero
+    row_block0 offset."""
+    import jax.numpy as jnp
+
+    from image_search_tpu.ops import blockmax
+
+    r, n, da = blockmax.ROWS_TILE, blockmax.COLS_TILE_V, 65
+    a = rng.normal(size=(n, da)).astype(np.float32) / np.sqrt(da)
+    a16 = jnp.asarray(a, jnp.bfloat16)
+    rb0 = 4  # rows r..r+RB cover block rows 4..11 of the 128 col blocks
+    got = np.asarray(blockmax.blockpair_values(
+        a16[rb0 * blockmax.BLOCK : rb0 * blockmax.BLOCK + r], a16,
+        jnp.asarray(rb0, jnp.int32), interpret=True,
+    ))
+    a32 = np.asarray(a16, np.float32)
+    d = a32[rb0 * blockmax.BLOCK : rb0 * blockmax.BLOCK + r] @ a32.T
+    nb_r, nb_c = r // blockmax.BLOCK, n // blockmax.BLOCK
+    ref = d.reshape(nb_r, blockmax.BLOCK, nb_c, blockmax.BLOCK).max((1, 3))
+    rows = rb0 + np.arange(nb_r)[:, None]
+    cols = np.arange(nb_c)[None, :]
+    ref = np.where(cols >= rows, ref, -np.inf)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
