@@ -263,8 +263,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--per-class", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    m = run(steps=args.steps, per_class=args.per_class)
+    m = run(steps=args.steps, per_class=args.per_class, seed=args.seed)
     r1b = (m["before"]["recall@1_i2t"] + m["before"]["recall@1_t2i"]) / 2
     r1a = (m["after"]["recall@1_i2t"] + m["after"]["recall@1_t2i"]) / 2
     print(
