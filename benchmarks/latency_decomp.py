@@ -151,6 +151,27 @@ def main():
     log(f"[rtt] {stages['tunnel_rtt']:.3f} ms")
     save()
 
+    # payload-size rtt ladder (round-5): the serving fetch is ~8 KB (cert
+    # + k=1000 scores + ids), not the 32 B the base probe moves — if the
+    # tunnel charges per byte, the closure residual is TRANSFER, not an
+    # unaccounted stage. rtt_payload below feeds the closure.
+    rtt_ladder = {}
+    for sz in (8, 256, 2048, 16384, 262144):
+        arr = jnp.arange(float(sz))
+        arr.block_until_ready()
+        jax.device_get(bump(arr, 1))
+        t = []
+        for i in range(20):
+            t0 = time.perf_counter()
+            jax.device_get(bump(arr, i))
+            t.append(time.perf_counter() - t0)
+        rtt_ladder[str(sz * 4)] = round(p50(t) * 1e3, 3)
+    results["tunnel_rtt_by_payload_bytes"] = rtt_ladder
+    log(f"[rtt-ladder] {rtt_ladder}")
+    # the fused B=1 response: 1 cert byte-ish + k f32 scores + k i32 ids
+    stages["tunnel_rtt_payload"] = rtt_ladder[str(2048 * 4)]
+    save()
+
     # ---- host stages ----------------------------------------------------
     qs = [f"{QUERIES[i % len(QUERIES)]} {i}" for i in range(n_q)]
     t = []
@@ -284,6 +305,35 @@ def main():
     )
     save()
 
+    # engine-overhead probe (round-5): time the INNER index call from
+    # inside engine.search so engine bookkeeping (caches, selection
+    # resolution, gauges, formatting) is separated from the fused
+    # dispatch+fetch — localizes the engine_e2e - fused_single delta
+    inner_t = []
+    orig_fused = index.search_twostage_fused_tokens
+
+    def timed_fused(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_fused(*a, **kw)
+        inner_t.append(time.perf_counter() - t0)
+        return out
+
+    index.search_twostage_fused_tokens = timed_fused
+    t = []
+    try:
+        for i in range(n_q):
+            q = f"engine probe {i} {QUERIES[i % len(QUERIES)]}"
+            t0 = time.perf_counter()
+            engine.search(q)
+            t.append(time.perf_counter() - t0)
+    finally:
+        index.search_twostage_fused_tokens = orig_fused
+    stages["engine_inner_index"] = p50(inner_t) * 1e3
+    stages["engine_around_index"] = (p50(t) - p50(inner_t)) * 1e3
+    log(f"[engine] inner {stages['engine_inner_index']:.2f} ms, "
+        f"around {stages['engine_around_index']:.2f} ms")
+    save()
+
     # ---- loopback HTTP through the real app ------------------------------
     import asyncio
     import io
@@ -413,6 +463,12 @@ def main():
     closure_full = (
         closure + framing + stages["dispatch_enqueue"] + stages["h2d_ids_enqueue"]
     )
+    # closure with the PAYLOAD-sized rtt (the fused fetch moves ~8 KB, not
+    # the base probe's 32 B): if this closes where closure_full doesn't,
+    # the residual is tunnel per-byte transfer, removed on a TPU-VM's PCIe
+    closure_payload = (
+        closure_full - stages["tunnel_rtt"] + stages["tunnel_rtt_payload"]
+    )
     results["derived_ms"] = {
         "host_total": round(host_total, 3),
         "wire_p50_tunnel_subtracted": round(wire, 3),
@@ -436,6 +492,10 @@ def main():
         "closure_full": round(closure_full, 3),
         "closure_full_vs_http_e2e_gap": round(
             stages["http_e2e"] - closure_full, 3
+        ),
+        "closure_payload_rtt": round(closure_payload, 3),
+        "closure_payload_vs_http_e2e_gap": round(
+            stages["http_e2e"] - closure_payload, 3
         ),
     }
     results["counters"] = counters

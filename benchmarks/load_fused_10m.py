@@ -256,6 +256,13 @@ def main():
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard-exit: the engine's decode pool + batcher threads trip a C++
+    # abort in the axon plugin during normal interpreter teardown
+    # (measured rc=-6 AFTER all results were written, round 5) — results
+    # are on disk, skip teardown
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -135,13 +135,22 @@ class ClipEmbedder:
         out = self.embed_images_async(images)
         return np.asarray(out)[: len(images)]
 
-    def embed_images_async(self, images: Sequence[np.ndarray]) -> jax.Array:
+    def embed_images_async(
+        self, images: Sequence[np.ndarray], min_bucket: int = 8
+    ) -> jax.Array:
         """Dispatch without blocking; returns the (padded) device array.
 
         The ingest pipeline uses this to overlap host decode of chunk N+1
         with device compute of chunk N (JAX's async dispatch is the
         double-buffer). Inputs larger than the per-dispatch sweet spot are
-        split into sub-batches; the concatenation is also async."""
+        split into sub-batches; the concatenation is also async.
+
+        ``min_bucket=1`` serves the interactive query-by-image path: a
+        lone uploaded photo must not pad to the ingest bucket floor of 8 —
+        the padded rows' u8 pixels + resize matrices are 8x the
+        host->device bytes, and on a tunneled backend that transfer was
+        the whole latency (measured 682 ms -> the round-5 fix,
+        benchmarks/latency_decomp.py search_image)."""
         max_b = max(MAX_DEVICE_BATCH, self._n_data)
         if len(images) > max_b:
             parts = [
@@ -151,12 +160,14 @@ class ClipEmbedder:
             # each part is bucket-padded: keep only its real rows
             sizes = [min(max_b, len(images) - lo) for lo in range(0, len(images), max_b)]
             return jnp.concatenate([p[:s] for p, s in zip(parts, sizes)], axis=0)
-        return self._embed_one_batch(images)
+        return self._embed_one_batch(images, min_bucket)
 
-    def _embed_one_batch(self, images: Sequence[np.ndarray]) -> jax.Array:
+    def _embed_one_batch(
+        self, images: Sequence[np.ndarray], min_bucket: int = 8
+    ) -> jax.Array:
         u8, A_h, A_w = pack_batch(images, size=self.cfg.vision.image_size, mode=self.preprocess_mode)
         n = len(images)
-        B = _bucket_batch(max(n, self._n_data))
+        B = _bucket_batch(max(n, self._n_data), minimum=min_bucket)
         nd = self._n_data
         B = ((B + nd - 1) // nd) * nd  # shardable across the data axis
         if B > n:  # pad batch; padded rows are discarded by the caller

@@ -282,9 +282,13 @@ class SearchEngine:
         if arr is None:
             raise ValueError("could not decode query image")
         with global_metrics.timer("image_embed"):
-            # bucket-padded device array; keep the one real row ON DEVICE
-            # (the search dispatch chains on it without a host round-trip)
-            emb = self.embedder.embed_images_async([arr])[:1]
+            # B=1 bucket (min_bucket=1), one real row kept ON DEVICE (the
+            # search dispatch chains on it without a host round-trip).
+            # Padding to the ingest bucket floor of 8 shipped 8x the
+            # pixels+resize-matrix bytes host->device — measured as the
+            # entire 682 ms query-by-image latency on the tunneled
+            # backend (latency_decomp round 5)
+            emb = self.embedder.embed_images_async([arr], min_bucket=1)[:1]
         selected = [
             p for p in (self._resolve_selection(m) for m in referenced_images)
             if p is not None
@@ -549,6 +553,13 @@ class SearchEngine:
             self.index.search_twostage(zq, self.args.k, count_failures=False)
         else:
             self.index.search(zq, self.args.k, approx=self.args.search_approx)
+        # the query path embeds at B=1 (min_bucket=1) — warm that program,
+        # not just the B=8 ingest bucket. _DRAFT_TARGET-decoded uploads
+        # land in small source buckets; 256x256 covers the common case
+        # (other source sizes compile on first use, as before)
+        self.embedder.embed_images_async(
+            [np.zeros((256, 256, 3), np.uint8)], min_bucket=1
+        ).block_until_ready()
         self.embedder.embed_images([np.zeros((512, 512, 3), np.uint8)])
         global_metrics.gauge("serving_warmup_done", 1.0)
         log.info("serving warmup: %d batch buckets compiled", len(sizes))
