@@ -78,12 +78,19 @@ def _attention(
     blk: Params,
     cfg: TowerConfig,
     causal: bool,
+    s_real: int | None = None,
 ) -> jax.Array:
     """Multi-head self-attention, HF CLIPAttention numerics.
 
     q is pre-scaled by head_dim**-0.5; logits+softmax in f32. On TPU the
     QK^T -> softmax -> PV core runs as one Pallas kernel so the [S, S]
     logits never round-trip HBM (26% of forward time at ViT-L/14 batch 256).
+
+    s_real: set when the sequence is zero-padded end-to-end to an aligned
+    Sp (ISX_VIT_SPAD, see encode_image) — rows >= s_real are padding.
+    Keys/values at those rows are masked BY INDEX (their projected values
+    are bias garbage, not zero); output rows >= s_real are garbage the
+    caller never reads. Non-causal only.
     """
     B, S, D = x.shape
     H, Hd = cfg.num_heads, cfg.head_dim
@@ -128,7 +135,16 @@ def _attention(
         # kernel. ISX_ATTN_PIPE=0 restores the single-softmax kernel.
         pipe_group = int(_os.environ.get("ISX_ATTN_PIPE", "4") or 0)
 
-        if (
+        if s_real is not None and not causal:
+            # end-to-end padded sequence (ISX_VIT_SPAD): operands are
+            # already at the aligned Sp, so the split-key kernel runs with
+            # no per-call HBM pad/slice — the round-3 A/B's main overhead
+            from image_search_tpu.ops.attention import (
+                fused_attention_split_padded,
+            )
+
+            out = fused_attention_split_padded(q, k, v, H, s_real, 1.0, False)
+        elif (
             not causal
             and _os.environ.get("ISX_ATTN_SPLIT") == "1"
             and split_regime(S)
@@ -146,12 +162,24 @@ def _attention(
     else:
         from image_search_tpu.ops.attention import attention_reference
 
-        out = attention_reference(
-            q.reshape(B, S, H, Hd),
-            k.reshape(B, S, H, Hd),
-            v.reshape(B, S, H, Hd),
-            causal=causal,
-        ).reshape(B, S, D)
+        if s_real is not None and not causal:
+            # CPU semantics of the padded path: attention over the real
+            # rows, zeros in the pad rows (the kernel leaves garbage there;
+            # both are never read — zeros make CPU parity checks exact)
+            out = attention_reference(
+                q[:, :s_real].reshape(B, s_real, H, Hd),
+                k[:, :s_real].reshape(B, s_real, H, Hd),
+                v[:, :s_real].reshape(B, s_real, H, Hd),
+                causal=False,
+            ).reshape(B, s_real, D)
+            out = jnp.pad(out, ((0, 0), (0, S - s_real), (0, 0)))
+        else:
+            out = attention_reference(
+                q.reshape(B, S, H, Hd),
+                k.reshape(B, S, H, Hd),
+                v.reshape(B, S, H, Hd),
+                causal=causal,
+            ).reshape(B, S, D)
     return jnp.einsum("bsd,de->bse", out, blk["o_w"].astype(dtype)) + blk["o_b"].astype(dtype)
 
 
@@ -162,14 +190,16 @@ def _mlp(x: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
     return jnp.einsum("bsm,md->bsd", h, blk["proj_w"].astype(dtype)) + blk["proj_b"].astype(dtype)
 
 
-def _block(x: jax.Array, blk: Params, cfg: TowerConfig, causal: bool) -> jax.Array:
+def _block(x: jax.Array, blk: Params, cfg: TowerConfig, causal: bool,
+           s_real: int | None = None) -> jax.Array:
     """Pre-LN transformer block (HF CLIPEncoderLayer)."""
-    x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps), blk, cfg, causal)
+    x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps), blk, cfg, causal, s_real)
     x = x + _mlp(_layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps), blk, cfg)
     return x
 
 
-def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
+def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig,
+                   s_real: int | None = None) -> jax.Array:
     """Attention output for the CLS row only (non-causal).
 
     Same math as ``_attention`` restricted to query row 0: K/V are still
@@ -185,7 +215,13 @@ def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
     Dtype sequence mirrors the Pallas kernel: f32 logits (MXU
     accumulation), f32 softmax, probabilities cast to the activation
     dtype, f32 PV accumulation.
+
+    s_real: under ISX_VIT_SPAD the input carries pad rows — slice them
+    off up front (cheaper than masking here: only the CLS row survives,
+    and slicing keeps the reductions identical to the unpadded path).
     """
+    if s_real is not None:
+        xn = xn[:, :s_real]
     B, S, D = xn.shape
     H, Hd = cfg.num_heads, cfg.head_dim
     dtype = xn.dtype
@@ -216,7 +252,8 @@ def _attention_cls(xn: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
     ].astype(dtype)
 
 
-def _block_cls(x: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
+def _block_cls(x: jax.Array, blk: Params, cfg: TowerConfig,
+               s_real: int | None = None) -> jax.Array:
     """Last encoder block truncated to the CLS row -> [B, 1, D].
 
     Exact-FLOP reduction, identical math: after the final layer only
@@ -228,7 +265,7 @@ def _block_cls(x: jax.Array, blk: Params, cfg: TowerConfig) -> jax.Array:
     dependency on the full sequence.
     """
     xn = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.layernorm_eps)
-    c = x[:, :1] + _attention_cls(xn, blk, cfg)
+    c = x[:, :1] + _attention_cls(xn, blk, cfg, s_real)
     c = c + _mlp(_layer_norm(c, blk["ln2_scale"], blk["ln2_bias"], cfg.layernorm_eps), blk, cfg)
     return c
 
@@ -281,7 +318,8 @@ def _block_eos(
 
 
 def _encoder_skip_last(
-    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool
+    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool,
+    s_real: int | None = None,
 ) -> jax.Array:
     """Run blocks[0..L-2] while scanning the FULL stacked weights.
 
@@ -297,7 +335,8 @@ def _encoder_skip_last(
     def body(carry, blk):
         h, i = carry
         h = jax.lax.cond(
-            i < L - 1, lambda a: _block(a, blk, cfg, causal), lambda a: a, h
+            i < L - 1, lambda a: _block(a, blk, cfg, causal, s_real),
+            lambda a: a, h,
         )
         return (h, i + 1), None
 
@@ -306,7 +345,8 @@ def _encoder_skip_last(
 
 
 def _run_head_blocks(
-    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool
+    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool,
+    s_real: int | None = None,
 ) -> jax.Array:
     """Dispatch for the truncated-last-layer paths: ISX_CLS_COND=1
     (default) scans the full stack with a skip-last cond; =0 slices the
@@ -314,13 +354,14 @@ def _run_head_blocks(
     import os as _os
 
     if _os.environ.get("ISX_CLS_COND", "1") == "1":
-        return _encoder_skip_last(x, blocks, cfg, causal)
+        return _encoder_skip_last(x, blocks, cfg, causal, s_real)
     head = jax.tree.map(lambda a: a[:-1], blocks)
-    return _encoder(x, head, cfg, causal, remat=False)
+    return _encoder(x, head, cfg, causal, remat=False, s_real=s_real)
 
 
 def _encoder(
-    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool, remat: bool = False
+    x: jax.Array, blocks: Params, cfg: TowerConfig, causal: bool,
+    remat: bool = False, s_real: int | None = None,
 ) -> jax.Array:
     """Run all stacked blocks with lax.scan (one trace for L layers).
 
@@ -344,7 +385,7 @@ def _encoder(
         block = jax.checkpoint(_block, static_argnums=(2, 3), policy=policy)
 
     def body(h, blk):
-        return block(h, blk, cfg, causal), None
+        return block(h, blk, cfg, causal, s_real), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
@@ -443,21 +484,51 @@ def encode_image(
 
     x = _layer_norm(x, v["pre_ln_scale"], v["pre_ln_bias"], vc.layernorm_eps)
 
+    import os as _os
+
+    # ISX_VIT_SPAD=<Sp>: zero-pad the sequence ONCE to the aligned Sp and
+    # keep it padded through every layer (round-4 verdict #8 / PERF_NOTES
+    # round-3 attention close: the one listed idea never measured end to
+    # end). Attention runs the split-key kernel on pre-padded operands —
+    # no per-call HBM pad/slice, [S, 256]+[S, 8] MXU tiles instead of the
+    # 257->384 lane pad — with pad keys masked by index; LN/MLP rows
+    # >= s_real compute garbage that is never read (CLS pooling reads row
+    # 0). Inference only; requires Sp == (S//128)*128 + 8 (the split
+    # kernel's tail quantum), e.g. 264 for ViT-L/14's S=257.
+    s_real = None
+    spad = 0 if remat else int(_os.environ.get("ISX_VIT_SPAD", "0") or 0)
+    S0 = x.shape[1]
+    if spad > S0 and (
+        jax.default_backend() == "tpu"
+        or _os.environ.get("ISX_VIT_SPAD_CPU") == "1"
+    ):
+        from image_search_tpu.ops.attention import split_regime
+
+        if split_regime(S0):
+            # off-regime models (e.g. tiny test towers, other patch
+            # grids) silently ignore the flag — it is shape-specific
+            if spad != (S0 // 128) * 128 + 8:
+                raise ValueError(
+                    f"ISX_VIT_SPAD={spad} invalid for S={S0}: need "
+                    f"Sp == (S//128)*128 + 8 (the split kernel's tail)"
+                )
+            x = jnp.pad(x, ((0, 0), (0, spad - S0), (0, 0)))
+            s_real = S0
+
     # CLS-only last layer (inference): only x[:, 0] survives this function,
     # so the final block runs just the CLS row (K/V still over all tokens) —
     # same output, ~3.5% fewer FLOPs (see _block_cls). Training keeps the
     # full L-layer scan: ZeRO-3 shards the stacked [L, ...] weights along L,
     # and slicing layer L-1 out of the scan would force a re-shard there.
     # ISX_CLS_LAST=0 restores the full scan for A/B measurement.
-    import os as _os
-
     cls_last = not remat and _os.environ.get("ISX_CLS_LAST", "1") == "1"
     if cls_last and vc.num_layers > 1:
         last = jax.tree.map(lambda a: a[-1], v["blocks"])
-        x = _run_head_blocks(x, v["blocks"], vc, causal=False)
-        pooled = _block_cls(x, last, vc)[:, 0]
+        x = _run_head_blocks(x, v["blocks"], vc, causal=False, s_real=s_real)
+        pooled = _block_cls(x, last, vc, s_real)[:, 0]
     else:
-        x = _encoder(x, v["blocks"], vc, causal=False, remat=remat)
+        x = _encoder(x, v["blocks"], vc, causal=False, remat=remat,
+                     s_real=s_real)
         pooled = x[:, 0]  # class token
     pooled = _layer_norm(pooled, v["post_ln_scale"], v["post_ln_bias"], vc.layernorm_eps)
 
