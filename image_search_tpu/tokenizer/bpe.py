@@ -319,6 +319,17 @@ def train_bpe(
 
     merges: List[Tuple[str, str]] = []
     max_merges = max(0, vocab_size - len(base) - 2)
+    if max_merges == 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "train_bpe: vocab_size=%d leaves no room above the %d-entry "
+            "base alphabet (+2 specials) — ZERO merges will be learned "
+            "and every token is a single character. Captions tokenize "
+            "~5x longer than word-level and may silently truncate at "
+            "context_length. Use vocab_size > %d.",
+            vocab_size, len(base), len(base) + 2,
+        )
     word_list = [[list(w), f] for w, f in words.items()]
     for _ in range(max_merges):
         pair_counts: Counter = Counter()

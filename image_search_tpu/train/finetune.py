@@ -148,7 +148,17 @@ def run_finetune(
             need = batch_size - len(images)
             if need == 0:
                 break
-            batch = [pairs[rng.randrange(len(pairs))] for _ in range(need)]
+            # sample WITHOUT replacement within a batch: a pair drawn
+            # twice puts two identical caption rows in the contrastive
+            # batch, and each is a false negative for the other (the
+            # in-batch softmax labels conflict on identical text
+            # embeddings). With-replacement draws at batch~dataset size
+            # measurably smeared the learned clusters (round 5,
+            # examples/learned_retrieval.py experiments).
+            if len(pairs) >= need:
+                batch = rng.sample(pairs, need)
+            else:
+                batch = [pairs[rng.randrange(len(pairs))] for _ in range(need)]
             kept, decoded = pool.decode_batch([p for p, _ in batch])
             cap_by_path = {p: c for p, c in batch}
             images.extend(decoded)
