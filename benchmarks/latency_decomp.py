@@ -386,6 +386,12 @@ def main():
             for _ in range(warm):
                 r = await make_req(0)
                 await r.read()
+            # route accounting: does this series stay on the certified
+            # two-stage path or fall back to the full scan? (fb-3's +3 ms
+            # over fb-1 is either gather work or certificate misses —
+            # the counters decide which.)
+            cert0 = int(index.twostage_certified)
+            fall0 = int(index.twostage_fallbacks)
             lat = []
             for i in range(count):
                 t0 = time.perf_counter()
@@ -397,6 +403,8 @@ def main():
                 "p50_ms": round(pctl(lat, 0.50) * 1e3, 3),
                 "p95_ms": round(pctl(lat, 0.95) * 1e3, 3),
                 "p99_ms": round(pctl(lat, 0.99) * 1e3, 3),
+                "certified": int(index.twostage_certified) - cert0,
+                "fallbacks": int(index.twostage_fallbacks) - fall0,
                 "n": count,
             }
             log(f"[http] {name}: {http[name]}")
